@@ -1,0 +1,207 @@
+"""Frozen configuration dataclasses + named presets.
+
+Mirrors every field of the reference's ``Cfg`` class (new_scripy.py:22-67)
+plus the hardcoded configs of the three legacy scripts, expressed as named
+presets (the four BASELINE.json configs):
+
+- ``"full"``    — new_scripy.py v2.0 ContextUnet (CoordAttn+SE+LocalEnhancer)
+- ``"old"``     — scripy_old.py v1.x (no LocalEnhancer, mask weights {0.5,1,1.5})
+- ``"mnist"``   — MNIST_script.py v1.0 (28x28, 2-level U-Net, CPU-runnable)
+- ``"custom"``  — custom_dataset.py v1.5 (128px, CBAM variant)
+
+Quirk flags (SURVEY.md section 2.10) default to reference-faithful behavior
+where the reference is runnable and to the documented fix where it is not:
+
+- Q1 ``cfg_fixed_orientation``: the v2.0 sampler computes
+  ``eps = (1+w)*eps_uncond - w*eps_cond`` (inverted CFG). False = as-written.
+- Q3 ``local_enhancer_spatial_mask``: the reference wires the [B, n_classes]
+  context mask into LocalEnhancer, which cannot broadcast against a
+  [B,C,256,256] feature map (crashes as written). We wire the *spatial*
+  attention mask (the evident intent) when available; during sampling no
+  spatial mask exists and the enhancer branch is gated off (identity).
+- Q5 ``co_flip_mask``: reference RandomHorizontalFlip flips the image only,
+  not the attention mask. False = faithful.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Denoiser network configuration (ContextUnet family)."""
+
+    arch: str = "context_unet_v2"  # context_unet_v2 | context_unet_v1 | mnist_unet | cbam_unet
+    in_ch: int = 3                 # new_scripy.py:25  IN_CH
+    n_feat: int = 192              # new_scripy.py:24  N_FEAT
+    n_classes: int = 5
+    img_size: int = 256            # new_scripy.py:65  IMG_SIZE
+    # "group" is the TPU-idiomatic default (BASELINE north star); "batch"
+    # reproduces the reference's BatchNorm2d semantics (SURVEY Q2).
+    norm: str = "group"
+    group_norm_groups: int = 8
+    attn_reduction: int = 16       # CoordAttn / SEBlock reduction (new_scripy.py:71,144)
+    use_coord_attn: bool = True
+    use_se: bool = True
+    use_local_enhancer: bool = True
+    # MNIST_script.py:170 flips the context mask and multiplies the kept
+    # one-hot by -1; v1.5/v2.0 multiply by the keep-mask directly.
+    mnist_style_ctx_flip: bool = False
+    # Use fused Pallas kernels for CoordAttn/SEBlock/LocalEnhancer when on TPU.
+    use_pallas: bool = False
+    # Compute dtype ("float32" or "bfloat16"); params always float32.
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Diffusion process: schedule, loss weighting, CFG."""
+
+    n_T: int = 700                      # new_scripy.py:26  N_T
+    beta1: float = 1e-4                 # new_scripy.py:27  BETAS
+    beta2: float = 0.02
+    drop_prob: float = 0.1              # new_scripy.py:28  DROP_PROB
+    # Attention-mask loss weighting (new_scripy.py:31-36).
+    high_thresh: float = 1.2
+    mid_thresh: float = 0.8
+    high_weight: float = 3.0
+    mid_weight: float = 1.0
+    low_weight: float = 0.5
+    feat_consist_weight: float = 2.0
+    use_weighted_loss: bool = True      # False => plain MSE (MNIST/old variants)
+    # Quirk flags — see module docstring.
+    cfg_fixed_orientation: bool = False  # Q1
+    local_enhancer_spatial_mask: bool = True  # Q3 (fix; literal wiring crashes)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization & loop parameters (new_scripy.py:38-53)."""
+
+    batch_size: int = 4
+    accum_steps: int = 4
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+    n_epoch: int = 400
+    save_freq: int = 50
+    min_save_ep: int = 200
+    patience: int = 10
+    min_delta: float = 1e-3
+    val_split: float = 0.1
+    grad_clip: float = 1.0
+    # CosineAnnealingWarmRestarts(T_0=10, T_mult=2, eta_min=3e-5)
+    # (new_scripy.py:722-724); "linear" = MNIST_script.py:334 decay; "none".
+    lr_schedule: str = "cosine_warm_restarts"
+    sgdr_t0: int = 10
+    sgdr_t_mult: int = 2
+    sgdr_eta_min: float = 3e-5
+    optimizer: str = "adamw"  # "adam" for mnist preset
+    seed: int = 0
+    split_seed: int = 42      # StratifiedShuffleSplit(random_state=42), new_scripy.py:630
+    eval_every: int = 5       # sample+metrics every 5 epochs (new_scripy.py:851)
+    eval_sample_count: int = 32
+    save_dir: str = "./output/diffusion/"
+    # Mesh axes: (data, model). Model axis > 1 enables tensor sharding of the
+    # widest conv/linear kernels across chips.
+    mesh_data: int = -1  # -1 => all available devices
+    mesh_model: int = 1
+    # Data augmentation parity flags.
+    hflip_prob: float = 0.5   # new_scripy.py:685
+    co_flip_mask: bool = False  # Q5: reference does NOT flip the mask
+
+
+@dataclass(frozen=True)
+class SampleConfig:
+    """Generation sweep parameters (new_scripy.py:61-62, 1292-1321)."""
+
+    guide_scales: Tuple[float, ...] = (2.0, 4.0)
+    samples_per_class: int = 3
+    eval_quality: bool = True
+    sample_dir: str = "./output/samples/"
+    denorm: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    diffusion: DiffusionConfig = DiffusionConfig()
+    train: TrainConfig = TrainConfig()
+    sample: SampleConfig = SampleConfig()
+    data_root: str = "./cropped_images/"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def preset(name: str, **overrides) -> Config:
+    """Named presets for the four BASELINE.json reference configs."""
+    if name == "full":
+        cfg = Config()
+    elif name == "old":
+        # scripy_old.py:539-548: batch 1, no LocalEnhancer, mask weights
+        # high=1.5 (scripy_old.py:514-526), plain weighted thresholds.
+        cfg = Config(
+            model=ModelConfig(arch="context_unet_v1", use_local_enhancer=False),
+            diffusion=DiffusionConfig(
+                high_weight=1.5, feat_consist_weight=0.0,
+                local_enhancer_spatial_mask=False,
+            ),
+            train=TrainConfig(batch_size=1, accum_steps=1, n_epoch=300),
+        )
+    elif name == "mnist":
+        # MNIST_script.py:303-334.
+        cfg = Config(
+            model=ModelConfig(
+                arch="mnist_unet", in_ch=1, n_feat=128, n_classes=10,
+                img_size=28, use_coord_attn=False, use_se=False,
+                use_local_enhancer=False, mnist_style_ctx_flip=True,
+                norm="batch",
+            ),
+            diffusion=DiffusionConfig(
+                n_T=400, use_weighted_loss=False, feat_consist_weight=0.0,
+            ),
+            train=TrainConfig(
+                batch_size=256, accum_steps=1, lr=1e-4, weight_decay=0.0,
+                n_epoch=20, lr_schedule="linear", optimizer="adam",
+                grad_clip=0.0,
+            ),
+            sample=SampleConfig(guide_scales=(0.0, 0.5, 2.0), samples_per_class=4),
+        )
+    elif name == "custom":
+        # custom_dataset.py v1.5: 128px, n_feat=128, n_T=500.
+        cfg = Config(
+            model=ModelConfig(arch="cbam_unet", n_feat=128, img_size=128),
+            diffusion=DiffusionConfig(n_T=500, high_weight=1.5),
+            train=TrainConfig(batch_size=8, accum_steps=4),
+        )
+    elif name == "generation":
+        # Generation sweep config: guidance 2/4/6, 5 samples/class, full eval.
+        cfg = Config(
+            sample=SampleConfig(guide_scales=(2.0, 4.0, 6.0), samples_per_class=5)
+        )
+    else:
+        raise ValueError(f"unknown preset: {name!r}")
+    for k, v in overrides.items():
+        obj = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        if len(parts) == 1:
+            cfg = dataclasses.replace(cfg, **{k: v})
+        else:
+            sub = dataclasses.replace(obj, **{parts[-1]: v})
+            outer = cfg
+            # rebuild nested frozen dataclasses (depth <= 2 in practice)
+            cfg = dataclasses.replace(outer, **{parts[0]: _replace_path(getattr(outer, parts[0]), parts[1:], v)})
+    return cfg
+
+
+def _replace_path(obj, parts, value):
+    if len(parts) == 1:
+        return dataclasses.replace(obj, **{parts[0]: value})
+    return dataclasses.replace(
+        obj, **{parts[0]: _replace_path(getattr(obj, parts[0]), parts[1:], value)}
+    )

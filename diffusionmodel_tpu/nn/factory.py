@@ -1,0 +1,51 @@
+"""Model factory: build the denoiser named by ModelConfig.arch."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from diffusionmodel_tpu.config import ModelConfig
+from diffusionmodel_tpu.nn.context_unet import ContextUnet
+from diffusionmodel_tpu.nn.mnist_unet import MnistContextUnet
+
+
+def build_model(mc: ModelConfig, high_thresh: float = 1.2):
+    dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
+    if mc.arch in ("context_unet_v2", "context_unet_v1"):
+        return ContextUnet(
+            in_ch=mc.in_ch,
+            n_feat=mc.n_feat,
+            n_classes=mc.n_classes,
+            img_size=mc.img_size,
+            norm=mc.norm,
+            attn_reduction=mc.attn_reduction,
+            use_coord_attn=mc.use_coord_attn,
+            use_se=mc.use_se,
+            use_local_enhancer=mc.use_local_enhancer
+            and mc.arch == "context_unet_v2",
+            high_thresh=high_thresh,
+            mnist_style_ctx_flip=mc.mnist_style_ctx_flip,
+            dtype=dtype,
+        )
+    if mc.arch == "mnist_unet":
+        return MnistContextUnet(
+            in_ch=mc.in_ch,
+            n_feat=mc.n_feat,
+            n_classes=mc.n_classes,
+            img_size=mc.img_size,
+            norm=mc.norm,
+            mnist_style_ctx_flip=mc.mnist_style_ctx_flip,
+            dtype=dtype,
+        )
+    if mc.arch == "cbam_unet":
+        from diffusionmodel_tpu.nn.cbam_unet import CbamContextUnet
+
+        return CbamContextUnet(
+            in_ch=mc.in_ch,
+            n_feat=mc.n_feat,
+            n_classes=mc.n_classes,
+            img_size=mc.img_size,
+            norm=mc.norm,
+            dtype=dtype,
+        )
+    raise ValueError(f"unknown arch {mc.arch!r}")

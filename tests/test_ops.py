@@ -1,0 +1,75 @@
+"""ops: align-corners bilinear upsample & adaptive pooling vs torch."""
+
+import numpy as np
+import pytest
+
+from diffusionmodel_tpu.ops.pool import adaptive_avg_pool_axis
+from diffusionmodel_tpu.ops.resize import (
+    resize_bilinear_align_corners,
+    upsample_bilinear_align_corners,
+)
+
+
+def test_upsample_shapes():
+    import jax.numpy as jnp
+
+    x = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    y = upsample_bilinear_align_corners(x, 2)
+    assert y.shape == (2, 8, 8, 3)
+    # corners preserved under align_corners=True
+    np.testing.assert_allclose(y[:, 0, 0, :], x[:, 0, 0, :], rtol=1e-6)
+    np.testing.assert_allclose(y[:, -1, -1, :], x[:, -1, -1, :], rtol=1e-6)
+
+
+def test_upsample_matches_torch():
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 5, 7, 3).astype(np.f4 if hasattr(np, "f4") else np.float32)
+    got = np.asarray(upsample_bilinear_align_corners(jnp.asarray(x), 2))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = (
+        torch.nn.functional.interpolate(
+            xt, scale_factor=2, mode="bilinear", align_corners=True
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_general_resize_matches_torch():
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 16, 16, 2).astype(np.float32)
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 299, 299))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = (
+        torch.nn.functional.interpolate(
+            xt, size=(299, 299), mode="bilinear", align_corners=True
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_size,out_size", [(7, 7), (16, 8), (10, 3), (5, 9)])
+def test_adaptive_pool_matches_torch(in_size, out_size):
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 4, in_size, 3).astype(np.float32)  # pool along axis=2
+    got = np.asarray(adaptive_avg_pool_axis(jnp.asarray(x), out_size, axis=2))
+    # torch adaptive_avg_pool2d over (H=4 fixed, W=in->out)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # [B,C,4,in]
+    want = (
+        torch.nn.functional.adaptive_avg_pool2d(xt, (4, out_size))
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
