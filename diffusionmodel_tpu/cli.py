@@ -1,0 +1,129 @@
+"""CLI — public parity with new_scripy.py:1292-1321.
+
+    python -m diffusionmodel_tpu.cli --mode train
+    python -m diffusionmodel_tpu.cli --mode generate --ckpt PATH \
+        --guide_scales 2.0 4.0 --samples 3 [--no_eval]
+
+Actual reference flag spellings (--ckpt/--guide_scales/--samples) are
+primary; the BASELINE.json names (--checkpoint/--guidance_scales/
+--samples_per_class) are accepted as aliases. Extras beyond the reference:
+--preset, --data_root, --epochs, --resume, --img_size, nested -o overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native enhanced diffusion model training/generation")
+    p.add_argument("--mode", type=str, default="train",
+                   choices=["train", "generate", "crop"],
+                   help="train, generate, or crop (offline dataset build)")
+    p.add_argument("--ckpt", "--checkpoint", dest="ckpt", type=str,
+                   default=None, help="Checkpoint path for generation mode")
+    p.add_argument("--guide_scales", "--guidance_scales", dest="guide_scales",
+                   type=float, nargs="+", default=None,
+                   help="Guidance scales for generation")
+    p.add_argument("--samples", "--samples_per_class", dest="samples",
+                   type=int, default=None, help="Samples per class")
+    p.add_argument("--no_eval", action="store_true",
+                   help="Skip image quality evaluation")
+    p.add_argument("--preset", type=str, default="full",
+                   choices=["full", "old", "mnist", "custom", "generation"])
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--save_dir", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("-o", "--override", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="Nested config override, e.g. -o model.n_feat=96")
+    # crop mode
+    p.add_argument("--img_dir", type=str, default=None)
+    p.add_argument("--anno_dir", type=str, default=None)
+    p.add_argument("--anno_format", type=str, default="voc",
+                   choices=["voc", "datasetninja"])
+    p.add_argument("--crop_out", type=str, default="./data/cropped_images1")
+    p.add_argument("--crop_size", type=int, default=512)
+    return p
+
+
+def _parse_value(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from diffusionmodel_tpu.config import preset
+
+    overrides = {}
+    for item in args.override:
+        k, _, v = item.partition("=")
+        overrides[k] = _parse_value(v)
+    cfg = preset(args.preset, **overrides)
+    if args.data_root:
+        cfg = cfg.replace(data_root=args.data_root)
+    if args.save_dir:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(train=_dc.replace(cfg.train, save_dir=args.save_dir))
+    if args.epochs is not None:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(train=_dc.replace(cfg.train, n_epoch=args.epochs))
+    if args.seed is not None:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(train=_dc.replace(cfg.train, seed=args.seed))
+
+    if args.mode == "train":
+        from diffusionmodel_tpu.trainer import fit
+
+        fit(cfg)
+        return 0
+    if args.mode == "generate":
+        if args.ckpt is None:
+            print("Error: Checkpoint path required for generation mode")
+            return 1
+        from diffusionmodel_tpu.sample import gen_samples
+
+        gen_samples(
+            cfg, args.ckpt,
+            n_samples_per_class=args.samples,
+            guide_scales=args.guide_scales,
+            eval_quality=not args.no_eval,
+        )
+        return 0
+    if args.mode == "crop":
+        from diffusionmodel_tpu.data.crop_tool import (
+            DatasetCropper,
+            parse_datasetninja_dir,
+            parse_voc_dir,
+        )
+
+        if not args.img_dir or not args.anno_dir:
+            print("Error: --img_dir and --anno_dir required for crop mode")
+            return 1
+        parse = (parse_voc_dir if args.anno_format == "voc"
+                 else parse_datasetninja_dir)
+        samples = parse(args.img_dir, args.anno_dir)
+        cropper = DatasetCropper(samples, args.crop_out, args.crop_size)
+        n = cropper.process_all(verbose=True)
+        print(f"Cropped {n} objects into {args.crop_out}; "
+              f"classes: {cropper.class_map}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

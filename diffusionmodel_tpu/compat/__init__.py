@@ -1,0 +1,4 @@
+from diffusionmodel_tpu.compat.torch_convert import (  # noqa: F401
+    convert_state_dict,
+    load_torch_checkpoint,
+)

@@ -1,0 +1,6 @@
+from diffusionmodel_tpu.data.crack_dataset import (  # noqa: F401
+    CrackDataset,
+    build_attn_mask,
+    stratified_split,
+)
+from diffusionmodel_tpu.data.loader import BatchLoader  # noqa: F401

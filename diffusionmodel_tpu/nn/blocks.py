@@ -28,7 +28,7 @@ def gelu(x):
 
 def gn_groups(channels: int, preferred: int = 8) -> int:
     """Largest divisor of ``channels`` that is <= preferred."""
-    g = min(preferred, channels)
+    g = max(1, min(preferred, channels))
     while channels % g != 0:
         g -= 1
     return g
@@ -119,12 +119,11 @@ class SEBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        red = max(1, self.channels // self.reduction)
         y = jnp.mean(x, axis=(1, 2))  # [B, C]
-        y = dense(self.channels // self.reduction, self.channels, use_bias=False,
-                  dtype=self.dtype)(y)
+        y = dense(red, self.channels, use_bias=False, dtype=self.dtype)(y)
         y = gelu(y)
-        y = dense(self.channels, self.channels // self.reduction, use_bias=False,
-                  dtype=self.dtype)(y)
+        y = dense(self.channels, red, use_bias=False, dtype=self.dtype)(y)
         y = nn.sigmoid(y)
         return x * y[:, None, None, :]
 

@@ -62,8 +62,14 @@ class ContextUnet(nn.Module):
         normalized timestep t/T; ctx_mask: [B] (1 = keep context);
         attn_mask: optional [B,H,W] spatial attention mask (training only)."""
         nf = self.n_feat
-        pool = self.img_size // 32
-        assert self.img_size % 32 == 0, "img_size must be a multiple of 32"
+        # Reference hardcodes AvgPool2d(8) + ConvTranspose(8,8)
+        # (new_scripy.py:290,298): at 256px the 16x16 down4 pools to 2x2, at
+        # 128px the 8x8 down4 pools to 1x1 — both reproduced by
+        # pool = min(8, img/16); smaller sizes scale the same recipe down.
+        d4 = self.img_size // 16
+        pool = min(8, d4)
+        assert self.img_size % 16 == 0 and d4 % pool == 0, \
+            "img_size must be a multiple of 16"
 
         x0 = ResConvBlock(self.in_ch, nf, is_res=True, use_se=self.use_se,
                           norm=self.norm, attn_reduction=self.attn_reduction,

@@ -32,7 +32,7 @@ class CoordAttn(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         n, h, w, c = x.shape
-        red = self.channels // self.reduction
+        red = max(1, self.channels // self.reduction)
 
         # Directional pools: pool_h keeps H (mean over W), pool_w keeps W.
         x_h = jnp.mean(x, axis=2, keepdims=True)  # [B, H, 1, C]

@@ -1,0 +1,76 @@
+"""Device mesh + sharding rules.
+
+The reference has no distributed support at all (SURVEY 2.9: single
+"cuda:0", no torch.distributed). This module is the new TPU-native
+parallelism layer:
+
+- a 2-axis ``Mesh`` ``('data', 'model')``;
+- batch tensors sharded on ``data`` (pjit inserts the gradient psum);
+- large conv/linear kernels sharded on their output-channel dim across
+  ``model`` (tensor parallelism); XLA's sharding propagation lays out the
+  activations and inserts the collectives over ICI.
+
+At the reference's 353M-param scale one v5e-8 slice holds everything, so
+``model=1`` (pure DP) is the default; the TP axis exists and is exercised by
+tests/dry-runs so scaling up is a config change, not a rewrite.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
+    dev = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
+    """Shard axis ``batch_axis`` over 'data', replicate the rest."""
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def _leaf_spec(path: str, shape, model_size: int, min_channels: int) -> P:
+    """Tensor-parallel rule: shard the output-feature dim of big kernels."""
+    if model_size <= 1 or len(shape) < 2:
+        return P()
+    out = shape[-1]
+    if out % model_size == 0 and out >= min_channels:
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any, min_channels: int = 256):
+    """NamedSharding pytree for params: output-channel TP on wide kernels.
+
+    Biases/scales stay replicated — they are tiny and XLA re-shards the
+    activation math as needed.
+    """
+    model_size = mesh.shape["model"]
+
+    def to_sharding(path, leaf):
+        name = "/".join(str(p) for p in path)
+        if leaf.ndim >= 2 and ("kernel" in name or name == ""):
+            spec = _leaf_spec(name, leaf.shape, model_size, min_channels)
+        else:
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)

@@ -1,0 +1,118 @@
+"""Generation sweep — the ``gen_samples`` equivalent (new_scripy.py:945-1108).
+
+Loads a checkpoint (tolerant of full / params-only / torch layouts), runs
+the jitted scan sampler per guidance scale, saves the grid
+(``samples_g{w}.png``) and per-class files (``{class}_s{i}_g{w}.png``),
+optionally evaluates FID/SSIM/PSNR against real images drawn from the
+dataset, and dumps ``quality_metrics.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionmodel_tpu.checkpoint import extract_params, load_checkpoint
+from diffusionmodel_tpu.config import Config
+from diffusionmodel_tpu.data import CrackDataset
+from diffusionmodel_tpu.diffusion import Schedule
+from diffusionmodel_tpu.metrics import ImageMetrics
+from diffusionmodel_tpu.nn import build_model
+from diffusionmodel_tpu.trainer import _sanitize, make_sampler
+from diffusionmodel_tpu.utils import enable_compilation_cache
+from diffusionmodel_tpu.utils.grid import save_image, save_samples
+
+
+def gen_samples(cfg: Config, ckpt_path: str,
+                n_samples_per_class: Optional[int] = None,
+                guide_scales: Optional[Sequence[float]] = None,
+                eval_quality: Optional[bool] = None,
+                dataset: Optional[CrackDataset] = None,
+                metrics_impl: Optional[ImageMetrics] = None,
+                seed: int = 0, verbose: bool = True) -> Dict:
+    enable_compilation_cache()
+    sc, mc, dc = cfg.sample, cfg.model, cfg.diffusion
+    n_per = n_samples_per_class or sc.samples_per_class
+    scales = list(guide_scales or sc.guide_scales)
+    do_eval = sc.eval_quality if eval_quality is None else eval_quality
+
+    if dataset is None:
+        dataset = CrackDataset(cfg.data_root, img_size=mc.img_size)
+    classes = dataset.classes or [str(i) for i in range(mc.n_classes)]
+    n_classes = len(classes)
+    if n_classes != mc.n_classes:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(model=_dc.replace(mc, n_classes=n_classes))
+        mc = cfg.model
+
+    if verbose:
+        print(f"Loading checkpoint: {ckpt_path}")
+    ckpt = load_checkpoint(ckpt_path)
+    params = extract_params(ckpt)
+    batch_stats = ckpt.get("batch_stats", {}) if isinstance(ckpt, dict) else {}
+
+    model = build_model(mc, dc.high_thresh)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+    n_sample = n_per * n_classes
+    sampler = make_sampler(model, cfg, sched, bool(batch_stats), n_sample)
+
+    out_dir = os.path.join(sc.sample_dir, f"samples_{int(time.time())}")
+    os.makedirs(out_dir, exist_ok=True)
+    if verbose:
+        print(f"Samples will be saved to: {out_dir}")
+
+    real_images = None
+    img_metrics = metrics_impl if metrics_impl is not None else ImageMetrics()
+    if do_eval and len(dataset) > 0:
+        needed = n_per * min(n_classes, 4)
+        rng = np.random.RandomState(seed)
+        order = rng.permutation(len(dataset))[:needed]
+        real_images = np.stack(
+            [dataset.load(int(i), augment=False)[0] for i in order]
+        )
+
+    key = jax.random.PRNGKey(seed)
+    results: Dict = {}
+    quality: Dict = {}
+    for w in scales:
+        if verbose:
+            print(f"Generating samples with guidance scale {w}")
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        x_gen = np.asarray(sampler(params, batch_stats, sub, jnp.float32(w)))
+        dt = time.time() - t0
+        grid_path = os.path.join(out_dir, f"samples_g{w}.png")
+        save_samples(x_gen, grid_path, nrow=n_per, denorm=sc.denorm)
+        for i in range(len(x_gen)):
+            cls = classes[i // n_per]
+            save_image(x_gen[i], os.path.join(
+                out_dir, f"{cls}_s{i % n_per}_g{w}.png"), denorm=sc.denorm)
+        results[w] = {
+            "grid_path": grid_path,
+            "seconds": dt,
+            "images_per_min": len(x_gen) / max(dt, 1e-9) * 60,
+        }
+        if real_images is not None:
+            try:
+                m = img_metrics.evaluate_batch(
+                    real_images, x_gen[: len(real_images)])
+                quality[w] = m
+                if verbose:
+                    print("  " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            except Exception as e:
+                print(f"Quality assessment failed: {e}")
+
+    if quality:
+        with open(os.path.join(out_dir, "quality_metrics.json"), "w") as f:
+            json.dump(_sanitize({str(k): v for k, v in quality.items()}), f,
+                      indent=2)
+    results["out_dir"] = out_dir
+    results["quality"] = quality
+    return results

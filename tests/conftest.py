@@ -1,19 +1,29 @@
-"""Test config: force an 8-virtual-device CPU platform BEFORE jax imports.
+"""Test bootstrap: force an 8-virtual-device CPU JAX platform.
 
-This is the standard JAX recipe for testing Mesh/pjit sharding without real
-multi-chip hardware (SURVEY.md section 4e). bench.py and the CLI do NOT go
-through this path and use the real TPU.
+This environment's ``sitecustomize`` (on PYTHONPATH) imports jax and
+registers the tunneled TPU backend in every python process, so env vars
+like JAX_PLATFORMS set here are too late. But the backend is not
+*initialized* until first use, so config-level overrides still take effect:
+``jax_platforms=cpu`` + ``jax_num_cpu_devices=8`` gives the standard
+8-virtual-device CPU setup for Mesh/pjit sharding tests. bench.py and the
+CLI do NOT go through this path and keep the real TPU.
 """
 
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
-os.environ["JAX_PLATFORMS"] = "cpu"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax  # noqa: E402
+
+if not jax._src.xla_bridge._backends:  # not yet initialized
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, (
+    "tests require 8 virtual CPU devices; run via `python -m pytest tests/` "
+    "from a fresh interpreter"
+)
 
 import pytest  # noqa: E402
 
@@ -24,6 +34,4 @@ enable_compilation_cache()
 
 @pytest.fixture(scope="session")
 def rng():
-    import jax
-
     return jax.random.PRNGKey(0)

@@ -27,7 +27,7 @@ def test_schedule_matches_numpy_twin():
     sj = {k: np.asarray(v) for k, v in ddpm_schedules(1e-4, 0.02, 700).items()}
     sn = ddpm_schedules_np(1e-4, 0.02, 700)
     for k in SCHEDULE_KEYS:
-        np.testing.assert_allclose(sj[k], sn[k], rtol=2e-6, atol=1e-9, err_msg=k)
+        np.testing.assert_allclose(sj[k], sn[k], rtol=1e-5, atol=5e-6, err_msg=k)
 
 
 def test_schedule_identity_mab():
@@ -58,5 +58,5 @@ def test_schedule_parity_vs_torch_reference():
     got = ddpm_schedules(beta1, beta2, T)
     for k in SCHEDULE_KEYS:
         np.testing.assert_allclose(
-            np.asarray(got[k]), expect[k].numpy(), rtol=2e-6, atol=1e-9, err_msg=k
+            np.asarray(got[k]), expect[k].numpy(), rtol=1e-5, atol=5e-6, err_msg=k
         )
