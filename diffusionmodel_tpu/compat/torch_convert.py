@@ -60,7 +60,10 @@ def _conv(w):
 
 
 def _convT(w):
-    return np.transpose(w, (2, 3, 0, 1))
+    # flax ConvTranspose (lax.conv_transpose) applies the kernel without the
+    # spatial flip torch's gradient-of-conv formulation implies — flip here
+    # (verified numerically in tests/test_parity_torch.py).
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def _lin(w):
