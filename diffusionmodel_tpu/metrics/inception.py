@@ -1,0 +1,203 @@
+"""InceptionV3 feature extractor in flax (for FID).
+
+Re-implementation of torchvision's inception_v3 trunk (the reference strips
+the final fc and uses pooled 2048-d features, new_scripy.py:1120-1127).
+Weights cannot be downloaded in a zero-egress environment; supply a
+torchvision state dict (``torch.save(model.state_dict(), path)`` elsewhere)
+and :func:`load_inception_feature_fn` converts it. Notable reference quirks
+reproduced: ``transform_input=False`` and inputs in [0,1] WITHOUT ImageNet
+normalization (new_scripy.py:1134-1143).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BasicConv2d(nn.Module):
+    out_ch: int
+    kernel: tuple
+    stride: int = 1
+    padding: Any = 0
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        elif isinstance(pad, tuple) and isinstance(pad[0], int):
+            pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+        x = nn.Conv(self.out_ch, self.kernel, strides=(self.stride, self.stride),
+                    padding=pad, use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="bn")(x)
+        return nn.relu(x)
+
+
+def _avgpool3(x):
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                       count_include_pad=False)
+
+
+def _maxpool3s2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2))
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding=2, name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_3")(b3)
+        bp = BasicConv2d(self.pool_features, (1, 1),
+                         name="branch_pool")(_avgpool3(x))
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3")(bd)
+        return jnp.concatenate([b3, bd, _maxpool3s2(x)], axis=-1)
+
+
+class InceptionC(nn.Module):
+    c7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.c7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avgpool3(x))
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4")(b7)
+        return jnp.concatenate([b3, b7, _maxpool3s2(x)], axis=-1)
+
+
+class InceptionE(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b3a = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3)
+        b3b = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding=1, name="branch3x3dbl_2")(bd)
+        bda = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
+        bdb = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avgpool3(x))
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3Features(nn.Module):
+    """Trunk to pooled 2048-d features (fc stripped, transform_input=False)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3")(x)
+        x = _maxpool3s2(x)
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = _maxpool3s2(x)
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(name="Mixed_7b")(x)
+        x = InceptionE(name="Mixed_7c")(x)
+        return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> [B, 2048]
+
+
+def convert_torchvision_inception(sd: Dict[str, np.ndarray]):
+    """torchvision inception_v3 state dict -> (params, batch_stats) trees."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, v):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+
+    for key, v in sd.items():
+        if key.startswith(("fc.", "AuxLogits.")):
+            continue
+        parts = key.split(".")
+        # e.g. Mixed_5b.branch1x1.conv.weight / .bn.weight/bias/running_*
+        *mods, leaf_mod, leaf = parts
+        path = tuple(mods) + (leaf_mod,)
+        if leaf_mod == "conv" and leaf == "weight":
+            put(params, path + ("kernel",), np.transpose(v, (2, 3, 1, 0)))
+        elif leaf_mod == "bn":
+            if leaf == "weight":
+                put(params, path + ("scale",), v)
+            elif leaf == "bias":
+                put(params, path + ("bias",), v)
+            elif leaf == "running_mean":
+                put(stats, path + ("mean",), v)
+            elif leaf == "running_var":
+                put(stats, path + ("var",), v)
+    return params, stats
+
+
+def load_inception_feature_fn(weights_path: str):
+    """Build a jitted [0,1]-input 299x299 NHWC -> [B,2048] feature fn from a
+    torchvision inception_v3 state dict file (.pt/.pth via torch, or .npz)."""
+    if weights_path.endswith(".npz"):
+        raw = dict(np.load(weights_path))
+    else:
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        raw = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    params, stats = convert_torchvision_inception(raw)
+    model = InceptionV3Features()
+    variables = {"params": params, "batch_stats": stats}
+
+    @jax.jit
+    def feature_fn(x):
+        return model.apply(variables, x)
+
+    return feature_fn

@@ -1,0 +1,124 @@
+"""Textbook DDPM process (the vendored labml formulation,
+reference/ddpm/__init__.py:172-287) as pure functions + a lax.scan sampler.
+
+Schedule: ``beta = linspace(1e-4, 0.02, T)``, ``abar = cumprod(1-beta)``,
+t in [0, T) — note this differs from the main family's arange(0,T+1)/T
+endpoint semantics (diffusionmodel_tpu.schedules).
+
+Also provides the evaluate.py capabilities (reference/ddpm/evaluate.py):
+x0-tracking sampling trajectories, q-sample interpolation of two images,
+and the p_x0 estimator.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TextbookSchedule(NamedTuple):
+    beta: jnp.ndarray        # [T]
+    alpha: jnp.ndarray       # [T]
+    alpha_bar: jnp.ndarray   # [T]
+    sigma2: jnp.ndarray      # [T] (= beta)
+
+
+def textbook_schedule(T: int = 1000, beta1: float = 1e-4,
+                      beta2: float = 0.02) -> TextbookSchedule:
+    beta = jnp.linspace(beta1, beta2, T, dtype=jnp.float32)
+    alpha = 1.0 - beta
+    return TextbookSchedule(beta, alpha, jnp.cumprod(alpha), beta)
+
+
+class DenoiseDiffusion:
+    """eps-prediction diffusion over a TextbookSchedule."""
+
+    def __init__(self, eps_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+                 n_steps: int = 1000, beta1: float = 1e-4, beta2: float = 0.02):
+        self.eps_fn = eps_fn
+        self.n_steps = n_steps
+        self.sched = textbook_schedule(n_steps, beta1, beta2)
+
+    def q_xt_x0(self, x0, t) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Mean and var of q(x_t | x_0)."""
+        ab = self.sched.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return jnp.sqrt(ab) * x0, 1.0 - ab
+
+    def q_sample(self, x0, t, eps):
+        mean, var = self.q_xt_x0(x0, t)
+        return mean + jnp.sqrt(var) * eps
+
+    def p_sample_step(self, xt, t, key):
+        """One reverse step x_t -> x_{t-1} (reference/ddpm/__init__.py:230-255)."""
+        eps_theta = self.eps_fn(xt, t)
+        ab = self.sched.alpha_bar[t].reshape(-1, 1, 1, 1)
+        a = self.sched.alpha[t].reshape(-1, 1, 1, 1)
+        eps_coef = (1.0 - a) / jnp.sqrt(1.0 - ab)
+        mean = (xt - eps_coef * eps_theta) / jnp.sqrt(a)
+        var = self.sched.sigma2[t].reshape(-1, 1, 1, 1)
+        z = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+        z = jnp.where(t.reshape(-1, 1, 1, 1) > 0, z, 0.0)
+        return mean + jnp.sqrt(var) * z
+
+    def p_x0(self, xt, t, eps):
+        """x0 estimate from (x_t, eps) (reference/ddpm/evaluate.py:239-250)."""
+        ab = self.sched.alpha_bar[t].reshape(-1, 1, 1, 1)
+        return (xt - jnp.sqrt(1.0 - ab) * eps) / jnp.sqrt(ab)
+
+    def loss(self, key, x0):
+        """Simple MSE(eps, eps_theta) with t ~ U[0, T)."""
+        tkey, nkey = jax.random.split(key)
+        b = x0.shape[0]
+        t = jax.random.randint(tkey, (b,), 0, self.n_steps)
+        eps = jax.random.normal(nkey, x0.shape, dtype=jnp.float32)
+        xt = self.q_sample(x0, t, eps)
+        eps_theta = self.eps_fn(xt, t)
+        return jnp.mean((eps - eps_theta) ** 2)
+
+    def sample(self, key, n: int, img_shape: Tuple[int, int, int],
+               track_x0: bool = False):
+        """Full reverse process as one lax.scan; optionally also return the
+        per-step x0 estimates (denoise-animation capability,
+        reference/ddpm/evaluate.py:90-129)."""
+        key, xkey = jax.random.split(key)
+        x = jax.random.normal(xkey, (n,) + tuple(img_shape), dtype=jnp.float32)
+        steps = jnp.arange(self.n_steps - 1, -1, -1, dtype=jnp.int32)
+
+        def step(carry, t):
+            x, key = carry
+            key, sub = jax.random.split(key)
+            tb = jnp.full((n,), t, dtype=jnp.int32)
+            out = None
+            if track_x0:
+                eps = self.eps_fn(x, tb)
+                out = self.p_x0(x, tb, eps)
+            x = self.p_sample_step(x, tb, sub)
+            return (x, key), out
+
+        (x, _), x0s = jax.lax.scan(step, (x, key), steps)
+        return (x, x0s) if track_x0 else x
+
+    def interpolate(self, key, x1, x2, lam: float = 0.5,
+                    t_: Optional[int] = None):
+        """Two-image latent interpolation (reference/ddpm/evaluate.py:131-166):
+        q-sample both at t_, mix with lam, then denoise from t_."""
+        t_ = self.n_steps - 1 if t_ is None else t_
+        n = x1.shape[0]
+        key, k1, k2 = jax.random.split(key, 3)
+        tb = jnp.full((n,), t_, dtype=jnp.int32)
+        xt = (1 - lam) * self.q_sample(
+            x1, tb, jax.random.normal(k1, x1.shape)) + lam * self.q_sample(
+            x2, tb, jax.random.normal(k2, x2.shape))
+
+        steps = jnp.arange(t_, -1, -1, dtype=jnp.int32)
+
+        def step(carry, t):
+            x, key = carry
+            key, sub = jax.random.split(key)
+            x = self.p_sample_step(x, jnp.full((n,), t, jnp.int32), sub)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (xt, key), steps)
+        return x
