@@ -1,0 +1,223 @@
+"""Fused coordinate-attention Pallas kernel.
+
+CoordAttn (new_scripy.py:70-140) in plain XLA issues ~10 small ops with the
+feature map bouncing through HBM between the pooling, bottleneck and
+scaling stages. Here the whole block runs per batch element with x resident
+in VMEM: directional means, the four 1x1 convs (= matmuls on the MXU), the
+cross-direction mix, and the final broadcast multiply — one HBM read and
+one write of x.
+
+Norm handling:
+- "affine": inference BatchNorm folded to scale'/bias' (the sampler path —
+  the benchmark-critical one);
+- "group": GroupNorm stats computed in-kernel (per-sample, cheap: the
+  pooled tensors are only [H, R]).
+
+Square feature maps assumed (always true in this model family) — the
+adaptive realign (new_scripy.py:119-120) is then the identity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _group_norm(v, groups, scale, bias, eps=1e-5):
+    """GN over a [L, R] tensor: stats per group over (L, R/g)."""
+    l, r = v.shape
+    g = groups
+    vg = v.reshape(l, g, r // g)
+    mean = jnp.mean(vg, axis=(0, 2), keepdims=True)
+    var = jnp.mean((vg - mean) ** 2, axis=(0, 2), keepdims=True)
+    vn = ((vg - mean) * jax.lax.rsqrt(var + eps)).reshape(l, r)
+    return vn * scale[None, :] + bias[None, :]
+
+
+def _make_kernel(norm_kind: str, gn_groups: int):
+    def kernel(x_ref, w1h_ref, w1w_ref, nh_ref, nw_ref, wmix_ref, wout_ref,
+               bout_ref, scal_ref, o_ref):
+        x = x_ref[0].astype(jnp.float32)  # [H, W, C]
+        h, w, c = x.shape
+        # directional pools
+        xh = jnp.mean(x, axis=1)  # [H, C] (mean over W)
+        xw = jnp.mean(x, axis=0)  # [W, C] (mean over H)
+
+        w1h = w1h_ref[:]  # [C+1, R] (bias folded as last row)
+        w1w = w1w_ref[:]
+        xh1 = jnp.dot(xh, w1h[:-1], preferred_element_type=jnp.float32) + w1h[-1]
+        xw1 = jnp.dot(xw, w1w[:-1], preferred_element_type=jnp.float32) + w1w[-1]
+
+        nh = nh_ref[:]  # [2, R] scale'/bias'
+        nw = nw_ref[:]
+        if norm_kind == "affine":
+            xh1 = xh1 * nh[0][None, :] + nh[1][None, :]
+            xw1 = xw1 * nw[0][None, :] + nw[1][None, :]
+        else:
+            xh1 = _group_norm(xh1, gn_groups, nh[0], nh[1])
+            xw1 = _group_norm(xw1, gn_groups, nw[0], nw[1])
+        xh1 = jax.nn.gelu(xh1, approximate=False)
+        xw1 = jax.nn.gelu(xw1, approximate=False)
+
+        r = xh1.shape[-1]
+        wmix = wmix_ref[:]  # [2*(R+1), R]: h2w proj then w2h proj stacked
+        h2w = jnp.dot(xh1, wmix[:r], preferred_element_type=jnp.float32) \
+            + wmix[r]
+        w2h = jnp.dot(xw1, wmix[r + 1:2 * r + 1],
+                      preferred_element_type=jnp.float32) + wmix[2 * r + 1]
+
+        s = scal_ref[:]  # [1, >=4]: sigmoid(gamma_h), sigmoid(gamma_w),
+        #                  alpha_norm, beta_norm
+        xh2 = xh1 + s[0, 0] * w2h  # square maps: realign == identity
+        xw2 = xw1 + s[0, 1] * h2w
+
+        wout = wout_ref[:]  # [2R, C]: conv_h then conv_w kernels stacked
+        bout = bout_ref[:]  # [2, C]
+        a_h = jax.nn.sigmoid(
+            jnp.dot(xh2, wout[:r], preferred_element_type=jnp.float32)
+            + bout[0])  # [H, C]
+        a_w = jax.nn.sigmoid(
+            jnp.dot(xw2, wout[r:], preferred_element_type=jnp.float32)
+            + bout[1])  # [W, C]
+
+        attn = s[0, 2] * a_h[:, None, :] + s[0, 3] * a_w[None, :, :]
+        o_ref[0] = (x * attn).astype(o_ref.dtype)
+
+    return kernel
+
+
+class CoordAttnWeights:
+    """Flat, kernel-ready packing of CoordAttn parameters."""
+
+    def __init__(self, params, batch_stats: Optional[dict] = None,
+                 norm_kind: str = "group"):
+        def kern(p):  # [1,1,C,R] conv kernel -> [C,R]
+            k = p["kernel"]
+            return k.reshape(k.shape[-2], k.shape[-1])
+
+        def fold(conv):
+            k = kern(conv)
+            b = conv["bias"][None, :]
+            return jnp.concatenate([k, b], axis=0)  # [C+1, R]
+
+        self.w1h = fold(params["conv1_h"])
+        self.w1w = fold(params["conv1_w"])
+
+        if norm_kind == "affine":
+            def affine(name):
+                bn_p = params[name]["BatchNorm_0"]
+                bn_s = batch_stats[name]["BatchNorm_0"]
+                inv = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-5)
+                return jnp.stack([inv, bn_p["bias"] - bn_s["mean"] * inv])
+            self.nh = affine("bn1_h")
+            self.nw = affine("bn1_w")
+        else:
+            def gn(name):
+                g = params[name]["GroupNorm_0"]
+                return jnp.stack([g["scale"], g["bias"]])
+            self.nh = gn("bn1_h")
+            self.nw = gn("bn1_w")
+
+        self.wmix = jnp.concatenate(
+            [fold(params["h2w_proj"]), fold(params["w2h_proj"])], axis=0)
+        self.wout = jnp.concatenate(
+            [kern(params["conv_h"]), kern(params["conv_w"])], axis=0)
+        self.bout = jnp.stack(
+            [params["conv_h"]["bias"], params["conv_w"]["bias"]])
+
+        gh = jax.nn.sigmoid(params["gamma_h"][0])
+        gw = jax.nn.sigmoid(params["gamma_w"][0])
+        al = jax.nn.sigmoid(params["alpha"][0])
+        be = jax.nn.sigmoid(params["beta"][0])
+        ssum = al + be + 1e-8
+        self.scal = jnp.zeros((1, 128), jnp.float32).at[0, :4].set(
+            jnp.stack([gh, gw, al / ssum, be / ssum]))
+
+
+_WTS_FIELDS = ("w1h", "w1w", "nh", "nw", "wmix", "wout", "bout", "scal")
+
+
+def _wts_flatten(w):
+    return tuple(getattr(w, f) for f in _WTS_FIELDS), None
+
+
+def _wts_unflatten(_, children):
+    w = object.__new__(CoordAttnWeights)
+    for f, c in zip(_WTS_FIELDS, children):
+        setattr(w, f, c)
+    return w
+
+
+jax.tree_util.register_pytree_node(CoordAttnWeights, _wts_flatten,
+                                   _wts_unflatten)
+
+
+def coord_attn_xla(x, wts: CoordAttnWeights, norm_kind: str = "group",
+                   gn_groups: int = 4):
+    """XLA twin of the kernel math (used as fallback and in tests)."""
+    xf = x.astype(jnp.float32)
+    xh = jnp.mean(xf, axis=2)  # [B, H, C]
+    xw = jnp.mean(xf, axis=1)  # [B, W, C]
+    r = wts.w1h.shape[-1]
+    xh1 = xh @ wts.w1h[:-1] + wts.w1h[-1]
+    xw1 = xw @ wts.w1w[:-1] + wts.w1w[-1]
+    if norm_kind == "affine":
+        xh1 = xh1 * wts.nh[0] + wts.nh[1]
+        xw1 = xw1 * wts.nw[0] + wts.nw[1]
+    else:
+        xh1 = jax.vmap(lambda v: _group_norm(v, gn_groups, wts.nh[0],
+                                             wts.nh[1]))(xh1)
+        xw1 = jax.vmap(lambda v: _group_norm(v, gn_groups, wts.nw[0],
+                                             wts.nw[1]))(xw1)
+    xh1 = jax.nn.gelu(xh1, approximate=False)
+    xw1 = jax.nn.gelu(xw1, approximate=False)
+    h2w = xh1 @ wts.wmix[:r] + wts.wmix[r]
+    w2h = xw1 @ wts.wmix[r + 1:2 * r + 1] + wts.wmix[2 * r + 1]
+    s = wts.scal
+    xh2 = xh1 + s[0, 0] * w2h
+    xw2 = xw1 + s[0, 1] * h2w
+    a_h = jax.nn.sigmoid(xh2 @ wts.wout[:r] + wts.bout[0])
+    a_w = jax.nn.sigmoid(xw2 @ wts.wout[r:] + wts.bout[1])
+    attn = s[0, 2] * a_h[:, :, None, :] + s[0, 3] * a_w[:, None, :, :]
+    return (xf * attn).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("norm_kind", "gn_groups",
+                                             "force_xla", "interpret"))
+def coord_attn_fused(x, wts: CoordAttnWeights, norm_kind: str = "group",
+                     gn_groups: int = 4, force_xla: bool = False,
+                     interpret: bool = False):
+    b, h, w, c = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    too_big = h * w * c * itemsize * 2 + 4 * h * w * 4 > VMEM_BUDGET
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas = _HAS_PALLAS and h == w and not too_big and (on_tpu or interpret)
+    if force_xla or not use_pallas:
+        return coord_attn_xla(x, wts, norm_kind, gn_groups)
+    kernel = _make_kernel(norm_kind, gn_groups)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, wts.w1h, wts.w1w, wts.nh, wts.nw, wts.wmix, wts.wout, wts.bout,
+      wts.scal)

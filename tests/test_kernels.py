@@ -1,0 +1,53 @@
+"""Pallas fused kernels vs XLA twins vs the flax modules.
+
+On CPU the kernels run in interpreter mode (same kernel code, no Mosaic);
+the real-TPU path is exercised by bench/benchmarks scripts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionmodel_tpu.kernels.coord_attn import (
+    CoordAttnWeights,
+    coord_attn_fused,
+    coord_attn_xla,
+)
+from diffusionmodel_tpu.kernels.se_block import se_block_fused, se_block_xla
+from diffusionmodel_tpu.nn.blocks import SEBlock
+from diffusionmodel_tpu.nn.coord_attn import CoordAttn
+
+
+def test_se_kernel_matches_module():
+    c = 64
+    mod = SEBlock(c, reduction=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, c))
+    variables = mod.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(mod.apply(variables, x))
+    w1 = variables["params"]["Dense_0"]["kernel"]
+    w2 = variables["params"]["Dense_1"]["kernel"]
+    got_xla = np.asarray(se_block_xla(x, w1, w2))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-5, atol=1e-6)
+    got_pl = np.asarray(se_block_fused(x, w1, w2, interpret=True))
+    np.testing.assert_allclose(got_pl, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("norm", ["group", "batch"])
+def test_coord_attn_kernel_matches_module(norm):
+    c = 64
+    mod = CoordAttn(c, reduction=16, norm=norm)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, c))
+    variables = mod.init(jax.random.PRNGKey(3), x, train=False)
+    want = np.asarray(mod.apply(variables, x, train=False))
+
+    kind = "affine" if norm == "batch" else "group"
+    wts = CoordAttnWeights(variables["params"],
+                           variables.get("batch_stats"), norm_kind=kind)
+    from diffusionmodel_tpu.nn.blocks import gn_groups
+
+    g = gn_groups(c // 16, 8)
+    got_xla = np.asarray(coord_attn_xla(x, wts, kind, g))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-5)
+    got_pl = np.asarray(coord_attn_fused(x, wts, kind, g, interpret=True))
+    np.testing.assert_allclose(got_pl, want, rtol=1e-4, atol=1e-5)
