@@ -1,0 +1,171 @@
+"""DDIM / DDPM samplers for latent diffusion (capability mirror of
+reference/stable_diffusion/sampler/*), as lax.scan loops with standard CFG
+``eps = e_uncond + scale * (e_cond - e_uncond)`` via a concatenated batch
+(sampler/__init__.py:55-70 — note: the STANDARD orientation, unlike the
+main family's Q1 quirk).
+
+DDIM (sampler/ddim.py): uniform or quadratic tau subsequence, eta-sigma
+formula, x_prev/pred_x0 update, masked ``paint`` inpainting, q_sample.
+DDPM (sampler/ddpm.py): full-T ancestral with x0-parameterized posterior
+mean and clamped log-var.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cfg_eps(eps_fn, x, t, cond, uncond, scale):
+    """Doubled-batch classifier-free guidance (standard orientation)."""
+    if uncond is None or scale == 1.0:
+        return eps_fn(x, t, cond)
+    x2 = jnp.concatenate([x, x])
+    t2 = jnp.concatenate([t, t])
+    c2 = jnp.concatenate([uncond, cond])
+    e = eps_fn(x2, t2, c2)
+    e_uncond, e_cond = jnp.split(e, 2)
+    return e_uncond + scale * (e_cond - e_uncond)
+
+
+class DDIMSampler:
+    def __init__(self, model, n_steps: int = 50, ddim_eta: float = 0.0,
+                 discretize: str = "uniform"):
+        self.model = model
+        T = model.n_steps
+        if discretize == "uniform":
+            c = T // n_steps
+            self.time_steps = np.asarray(list(range(0, T, c))) + 1
+        elif discretize == "quad":
+            self.time_steps = ((np.linspace(0, np.sqrt(T * 0.8), n_steps)) ** 2
+                               ).astype(int) + 1
+        else:
+            raise ValueError(discretize)
+        ab = np.asarray(model.sched.alpha_bar)
+        self.alpha = jnp.asarray(ab[self.time_steps])
+        self.alpha_prev = jnp.asarray(
+            np.concatenate([[ab[0]], ab[self.time_steps[:-1]]]))
+        self.sigma = ddim_eta * jnp.sqrt(
+            (1 - self.alpha_prev) / (1 - self.alpha)
+            * (1 - self.alpha / self.alpha_prev))
+        self.sqrt_one_minus_alpha = jnp.sqrt(1.0 - self.alpha)
+        self.n_steps = len(self.time_steps)
+
+    def get_x_prev_and_pred_x0(self, eps, index, x, temperature, key):
+        a = self.alpha[index]
+        a_prev = self.alpha_prev[index]
+        sigma = self.sigma[index]
+        sqrt_oma = self.sqrt_one_minus_alpha[index]
+        pred_x0 = (x - sqrt_oma * eps) / jnp.sqrt(a)
+        dir_xt = jnp.sqrt(1.0 - a_prev - sigma ** 2) * eps
+        noise = jax.random.normal(key, x.shape, x.dtype) * temperature
+        noise = jnp.where(sigma > 0, noise, 0.0)
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise
+        return x_prev, pred_x0
+
+    def sample(self, key, shape, cond, repeat_noise: bool = False,
+               temperature: float = 1.0, x_last: Optional[jnp.ndarray] = None,
+               uncond_scale: float = 1.0,
+               uncond_cond: Optional[jnp.ndarray] = None,
+               skip_steps: int = 0):
+        key, xkey = jax.random.split(key)
+        x = x_last if x_last is not None else jax.random.normal(
+            xkey, shape, dtype=jnp.float32)
+        n = shape[0]
+        indices = jnp.arange(self.n_steps - 1 - skip_steps, -1, -1)
+        tsteps = jnp.asarray(self.time_steps)
+
+        def step(carry, index):
+            x, key = carry
+            key, sub = jax.random.split(key)
+            t = jnp.full((n,), tsteps[index], jnp.int32)
+            eps = cfg_eps(self.model.eps_fn, x, t, cond, uncond_cond,
+                          uncond_scale)
+            x, _ = self.get_x_prev_and_pred_x0(eps, index, x, temperature, sub)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, key), indices)
+        return x
+
+    def q_sample(self, x0, index, key):
+        noise = jax.random.normal(key, x0.shape, x0.dtype)
+        return (jnp.sqrt(self.alpha[index]) * x0
+                + self.sqrt_one_minus_alpha[index] * noise)
+
+    def paint(self, key, x, cond, t_start: int,
+              orig: Optional[jnp.ndarray] = None,
+              mask: Optional[jnp.ndarray] = None,
+              orig_noise: Optional[jnp.ndarray] = None,
+              uncond_scale: float = 1.0,
+              uncond_cond: Optional[jnp.ndarray] = None):
+        """img2img / inpaint loop (sampler/ddim.py:254-300): denoise from
+        t_start; when mask is given, keep orig (re-noised) where mask=1."""
+        n = x.shape[0]
+        indices = jnp.arange(t_start - 1, -1, -1)
+        tsteps = jnp.asarray(self.time_steps)
+
+        def step(carry, index):
+            x, key = carry
+            key, sub, nsub = jax.random.split(key, 3)
+            t = jnp.full((n,), tsteps[index], jnp.int32)
+            eps = cfg_eps(self.model.eps_fn, x, t, cond, uncond_cond,
+                          uncond_scale)
+            x, _ = self.get_x_prev_and_pred_x0(eps, index, x, 1.0, sub)
+            if orig is not None and mask is not None:
+                noise = (orig_noise if orig_noise is not None
+                         else jax.random.normal(nsub, x.shape, x.dtype))
+                orig_t = (jnp.sqrt(self.alpha[index]) * orig
+                          + self.sqrt_one_minus_alpha[index] * noise)
+                x = orig_t * mask + x * (1.0 - mask)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, key), indices)
+        return x
+
+
+class DDPMSampler:
+    """Full-T ancestral sampler with x0-parameterized posterior
+    (sampler/ddpm.py:26-226)."""
+
+    def __init__(self, model):
+        self.model = model
+        sched = model.sched
+        ab = sched.alpha_bar
+        ab_prev = jnp.concatenate([jnp.ones((1,)), ab[:-1]])
+        beta = sched.beta
+        self.n_steps = model.n_steps
+        self.sqrt_recip_ab = jnp.sqrt(1.0 / ab)
+        self.sqrt_recip_m1_ab = jnp.sqrt(1.0 / ab - 1.0)
+        variance = beta * (1.0 - ab_prev) / (1.0 - ab)
+        self.log_var = jnp.log(jnp.clip(variance, 1e-20, None))
+        self.mean_x0_coef = beta * jnp.sqrt(ab_prev) / (1.0 - ab)
+        self.mean_xt_coef = (1.0 - ab_prev) * jnp.sqrt(1.0 - beta) / (1.0 - ab)
+
+    def sample(self, key, shape, cond, temperature: float = 1.0,
+               x_last: Optional[jnp.ndarray] = None, uncond_scale: float = 1.0,
+               uncond_cond: Optional[jnp.ndarray] = None,
+               skip_steps: int = 0):
+        key, xkey = jax.random.split(key)
+        x = x_last if x_last is not None else jax.random.normal(
+            xkey, shape, dtype=jnp.float32)
+        n = shape[0]
+        steps = jnp.arange(self.n_steps - 1 - skip_steps, -1, -1)
+
+        def step(carry, t):
+            x, key = carry
+            key, sub = jax.random.split(key)
+            tb = jnp.full((n,), t, jnp.int32)
+            eps = cfg_eps(self.model.eps_fn, x, tb, cond, uncond_cond,
+                          uncond_scale)
+            x0 = self.sqrt_recip_ab[t] * x - self.sqrt_recip_m1_ab[t] * eps
+            mean = self.mean_x0_coef[t] * x0 + self.mean_xt_coef[t] * x
+            noise = jax.random.normal(sub, x.shape, x.dtype) * temperature
+            noise = jnp.where(t > 0, noise, 0.0)
+            x = mean + jnp.exp(0.5 * self.log_var[t]) * noise
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, key), steps)
+        return x
