@@ -52,9 +52,9 @@ def main() -> None:
     n_sample = 10  # 2 per class x 5 classes
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, mc.img_size, mc.img_size, mc.in_ch))
-    variables = model.init(key, x0, jnp.zeros((2,), jnp.int32),
-                           jnp.full((2,), 0.5), jnp.ones((2,)),
-                           attn_mask=None, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        key, x0, jnp.zeros((2,), jnp.int32), jnp.full((2,), 0.5),
+        jnp.ones((2,)), attn_mask=None, train=False)
     params = variables["params"]
 
     def apply_fn(x, c, t, ctx, attn, train):

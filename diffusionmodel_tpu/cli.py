@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="Checkpoint to resume training from")
     p.add_argument("-o", "--override", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="Nested config override, e.g. -o model.n_feat=96")
@@ -89,7 +91,16 @@ def main(argv=None) -> int:
     if args.mode == "train":
         from diffusionmodel_tpu.trainer import fit
 
-        fit(cfg)
+        dataset = None
+        if args.preset == "mnist":
+            from diffusionmodel_tpu.data.mnist import MnistDataset
+
+            try:
+                dataset = MnistDataset(cfg.data_root)
+            except FileNotFoundError:
+                print("MNIST IDX files not found; using synthetic fallback")
+                dataset = MnistDataset(synthetic=True, n_synthetic=2048)
+        fit(cfg, dataset=dataset, resume=args.resume)
         return 0
     if args.mode == "generate":
         if args.ckpt is None:

@@ -68,7 +68,10 @@ def create_train_state(model, cfg: Config, key, steps_per_epoch: int,
             "c": jnp.zeros((b,), jnp.int32),
             "mask": jnp.ones((b, mc.img_size, mc.img_size)),
         }
-    variables = model.init(
+    # jit the init: one compiled program instead of per-param dispatches —
+    # essential on remote/tunneled TPU backends where eager dispatch of a
+    # 353M-param init costs minutes.
+    variables = jax.jit(model.init, static_argnames=("train",))(
         key, sample_batch["x"], sample_batch["c"],
         jnp.full((sample_batch["x"].shape[0],), 0.5),
         jnp.ones((sample_batch["x"].shape[0],)),

@@ -80,8 +80,11 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
 
 
 def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
-        metrics_impl: Optional[ImageMetrics] = None, verbose: bool = True
-        ) -> TrainState:
+        metrics_impl: Optional[ImageMetrics] = None, verbose: bool = True,
+        resume: Optional[str] = None) -> TrainState:
+    """Train; ``resume`` restores params/opt_state/epoch from a checkpoint —
+    a capability upgrade over the reference, which saves full training state
+    but never loads it (SURVEY 5.3)."""
     enable_compilation_cache()
     tc, mc, dc = cfg.train, cfg.model, cfg.diffusion
 
@@ -125,6 +128,26 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     key = jax.random.PRNGKey(tc.seed)
     key, init_key = jax.random.split(key)
     state, tx = create_train_state(model, cfg, init_key, steps_per_epoch)
+    start_epoch = 0
+    if resume:
+        from diffusionmodel_tpu.checkpoint import extract_params, load_checkpoint
+
+        ckpt = load_checkpoint(resume)
+        state = state.replace(params=extract_params(ckpt))
+        if isinstance(ckpt, dict):
+            if ckpt.get("batch_stats"):
+                state = state.replace(batch_stats=ckpt["batch_stats"])
+            if ckpt.get("opt_state") is not None:
+                try:
+                    restored = jax.tree.unflatten(
+                        jax.tree.structure(state.opt_state),
+                        jax.tree.leaves(ckpt["opt_state"]))
+                    state = state.replace(opt_state=restored)
+                except Exception as e:
+                    print(f"opt_state restore skipped: {e}")
+            start_epoch = int(ckpt.get("epoch", -1)) + 1
+        if verbose:
+            print(f"Resumed from {resume} at epoch {start_epoch}")
     has_bn = bool(state.batch_stats)
     step_fn = make_train_step(model, sched, cfg, tx, has_bn)
     eval_fn = make_eval_step(model, sched, cfg, has_bn)
@@ -189,7 +212,7 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
 
     train_loss_ema = None
     with mesh:
-        for ep in range(tc.n_epoch):
+        for ep in range(start_epoch, tc.n_epoch):
             t_ep = time.time()
             losses = []
             nsteps = 0

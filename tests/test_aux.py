@@ -1,0 +1,97 @@
+"""Aux capabilities: MNIST data, GIF animation, dataset visualization,
+checkpoint roundtrip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffusionmodel_tpu.checkpoint import (
+    extract_params,
+    load_checkpoint,
+    save_checkpoint,
+)
+from diffusionmodel_tpu.data.mnist import MnistDataset, synthetic_mnist
+from diffusionmodel_tpu.utils.animation import (
+    reference_frame_indices,
+    save_denoising_gif,
+)
+
+
+def test_synthetic_mnist_shapes_and_determinism():
+    x1, y1 = synthetic_mnist(64, seed=3)
+    x2, y2 = synthetic_mnist(64, seed=3)
+    assert x1.shape == (64, 28, 28, 1) and y1.shape == (64,)
+    np.testing.assert_array_equal(x1, x2)
+    assert 0 <= y1.min() and y1.max() <= 9
+    assert 0.0 <= x1.min() and x1.max() <= 1.0
+
+
+def test_mnist_dataset_ducktype():
+    ds = MnistDataset(synthetic=True, n_synthetic=32)
+    assert len(ds) == 32
+    x, c, m = ds.load(0)
+    assert x.shape == (28, 28, 1) and m.shape == (28, 28)
+    assert ds.classes == [str(i) for i in range(10)]
+
+    from diffusionmodel_tpu.data import BatchLoader
+
+    loader = BatchLoader(ds, np.arange(32), batch_size=8, accum_steps=1,
+                         num_workers=0)
+    batch = next(iter(loader))
+    assert batch["x"].shape == (1, 8, 28, 28, 1)
+
+
+def test_frame_indices_reference_recipe():
+    # n_T=400: keep i==400, i%20==0 (380..20), i<8 (7..1)
+    idx = reference_frame_indices(400)
+    kept_steps = [400 - k for k in idx]
+    assert kept_steps[0] == 400
+    assert 380 in kept_steps and 20 in kept_steps
+    assert all(s in kept_steps for s in range(1, 8))
+    assert 399 not in kept_steps
+
+
+def test_save_gif(tmp_path):
+    hist = np.random.RandomState(0).rand(30, 4, 8, 8, 1).astype(np.float32)
+    path = save_denoising_gif(hist, str(tmp_path / "anim.gif"), nrow=2)
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_checkpoint_roundtrip_pickle(tmp_path):
+    payload = {"epoch": 3, "params": {"w": np.arange(4.0)}, "val_loss": 0.5}
+    p = save_checkpoint(str(tmp_path / "ck.pkl"), payload)
+    back = load_checkpoint(p)
+    assert back["epoch"] == 3
+    np.testing.assert_array_equal(extract_params(back)["w"], np.arange(4.0))
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    payload = {"epoch": 7, "params": {"w": np.ones((2, 2))}}
+    p = save_checkpoint(str(tmp_path / "ck_orbax"), payload)
+    back = load_checkpoint(p)
+    assert int(back["epoch"]) == 7
+    np.testing.assert_array_equal(back["params"]["w"], np.ones((2, 2)))
+
+
+def test_visualize_dataset(tmp_path):
+    pytest.importorskip("PIL")
+    # reuse the fake dataset fixture machinery from test_data
+    from tests.test_data import _write_xml
+    from PIL import Image
+
+    root = tmp_path / "ds"
+    (root / "images" / "c_0").mkdir(parents=True)
+    (root / "annotations").mkdir()
+    for i in range(3):
+        Image.new("RGB", (64, 64), (120, 90, 60)).save(
+            root / "images" / "c_0" / f"i{i}.jpg")
+        _write_xml(str(root / "annotations" / f"i{i}.xml"), (10, 20, 40, 50))
+
+    from diffusionmodel_tpu.data import CrackDataset
+    from diffusionmodel_tpu.data.visualize import visualize_dataset_samples
+
+    ds = CrackDataset(str(root), img_size=32)
+    out = visualize_dataset_samples(ds, n_samples=3,
+                                    out_path=str(tmp_path / "viz.png"))
+    assert os.path.exists(out)
