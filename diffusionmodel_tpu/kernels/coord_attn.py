@@ -147,6 +147,36 @@ class CoordAttnWeights:
             jnp.stack([gh, gw, al / ssum, be / ssum]))
 
 
+    @classmethod
+    def from_arrays(cls, k1h, b1h, k1w, b1w, nh_scale, nh_bias, nw_scale,
+                    nw_bias, kh2w, bh2w, kw2h, bw2h, kh, bh, kw, bw,
+                    gamma_h, gamma_w, alpha, beta):
+        """Build directly from raw parameter arrays (1x1 conv kernels may be
+        [1,1,C,R] or [C,R])."""
+        w = object.__new__(cls)
+
+        def flat(k):
+            return k.reshape(k.shape[-2], k.shape[-1])
+
+        w.w1h = jnp.concatenate([flat(k1h), b1h[None, :]], axis=0)
+        w.w1w = jnp.concatenate([flat(k1w), b1w[None, :]], axis=0)
+        w.nh = jnp.stack([nh_scale, nh_bias])
+        w.nw = jnp.stack([nw_scale, nw_bias])
+        w.wmix = jnp.concatenate(
+            [jnp.concatenate([flat(kh2w), bh2w[None, :]], axis=0),
+             jnp.concatenate([flat(kw2h), bw2h[None, :]], axis=0)], axis=0)
+        w.wout = jnp.concatenate([flat(kh), flat(kw)], axis=0)
+        w.bout = jnp.stack([bh, bw])
+        gh = jax.nn.sigmoid(gamma_h.reshape(()))
+        gw = jax.nn.sigmoid(gamma_w.reshape(()))
+        al = jax.nn.sigmoid(alpha.reshape(()))
+        be = jax.nn.sigmoid(beta.reshape(()))
+        ssum = al + be + 1e-8
+        w.scal = jnp.zeros((1, 128), jnp.float32).at[0, :4].set(
+            jnp.stack([gh, gw, al / ssum, be / ssum]))
+        return w
+
+
 _WTS_FIELDS = ("w1h", "w1w", "nh", "nw", "wmix", "wout", "bout", "scal")
 
 

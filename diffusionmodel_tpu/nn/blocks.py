@@ -109,22 +109,45 @@ class EmbedFC(nn.Module):
         return x
 
 
+class _DenseKernel(nn.Module):
+    """Bias-free Dense parameter holder: registers the same tree entry as
+    nn.Dense (name/kernel) but returns the raw kernel, so fused Pallas paths
+    and the XLA path share one parameter layout."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_linear_kernel_init,
+                          (self.in_dim, self.out_dim))
+
+
 class SEBlock(nn.Module):
     """Squeeze-excitation (new_scripy.py:143-158): global avg-pool ->
-    Linear(C->C/r, no bias) -> GELU -> Linear(->C, no bias) -> sigmoid scale."""
+    Linear(C->C/r, no bias) -> GELU -> Linear(->C, no bias) -> sigmoid scale.
+
+    With ``use_pallas`` the inference path runs the fused single-pass kernel
+    (kernels/se_block.py); training keeps the XLA path (differentiable),
+    sharing the identical parameter tree."""
 
     channels: int
     reduction: int = 16
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         red = max(1, self.channels // self.reduction)
-        y = jnp.mean(x, axis=(1, 2))  # [B, C]
-        y = dense(red, self.channels, use_bias=False, dtype=self.dtype)(y)
-        y = gelu(y)
-        y = dense(self.channels, red, use_bias=False, dtype=self.dtype)(y)
-        y = nn.sigmoid(y)
+        k1 = _DenseKernel(self.channels, red, name="Dense_0")()
+        k2 = _DenseKernel(red, self.channels, name="Dense_1")()
+        if self.use_pallas and not train:
+            from diffusionmodel_tpu.kernels.se_block import se_block_fused
+
+            return se_block_fused(x, k1, k2)
+        y = jnp.mean(x, axis=(1, 2)).astype(self.dtype)  # [B, C]
+        y = gelu(y @ k1.astype(self.dtype))
+        y = nn.sigmoid(y @ k2.astype(self.dtype))
         return x * y[:, None, None, :]
 
 
@@ -167,6 +190,7 @@ class ResConvBlock(nn.Module):
     norm: str = "group"
     attn_reduction: int = 16
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -178,7 +202,9 @@ class ResConvBlock(nn.Module):
         x2 = gelu(x2)
         if self.is_res:
             if self.use_se:
-                x2 = SEBlock(self.out_ch, self.attn_reduction, dtype=self.dtype)(x2)
+                x2 = SEBlock(self.out_ch, self.attn_reduction,
+                             dtype=self.dtype,
+                             use_pallas=self.use_pallas)(x2, train)
             out = (x + x2) if self.in_ch == self.out_ch else (x1 + x2)
             return out / 1.414
         return x2
@@ -195,6 +221,7 @@ class UnetDown(nn.Module):
     norm: str = "group"
     attn_reduction: int = 16
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -208,7 +235,7 @@ class UnetDown(nn.Module):
         x = gelu(x)
         x = ResConvBlock(self.out_ch, self.out_ch, is_res=True, use_se=self.use_se,
                          norm=self.norm, attn_reduction=self.attn_reduction,
-                         dtype=self.dtype)(x, train)
+                         dtype=self.dtype, use_pallas=self.use_pallas)(x, train)
         x = conv(self.out_ch, 4, self.out_ch, strides=2, dtype=self.dtype)(x)
         return x
 

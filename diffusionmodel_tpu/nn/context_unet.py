@@ -54,6 +54,7 @@ class ContextUnet(nn.Module):
     high_thresh: float = 1.2
     mnist_style_ctx_flip: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, c, t, ctx_mask, attn_mask: Optional[jnp.ndarray] = None,
@@ -73,7 +74,8 @@ class ContextUnet(nn.Module):
 
         x0 = ResConvBlock(self.in_ch, nf, is_res=True, use_se=self.use_se,
                           norm=self.norm, attn_reduction=self.attn_reduction,
-                          dtype=self.dtype, name="init_conv")(x, train)
+                          dtype=self.dtype, use_pallas=self.use_pallas,
+                          name="init_conv")(x, train)
 
         downs = []
         h = x0
@@ -82,10 +84,12 @@ class ContextUnet(nn.Module):
         for i, (ci, co) in enumerate(zip(in_chans, chans)):
             h = UnetDown(ci, co, use_se=self.use_se, norm=self.norm,
                          attn_reduction=self.attn_reduction, dtype=self.dtype,
+                         use_pallas=self.use_pallas,
                          name=f"down{i+1}")(h, train)
             if self.use_coord_attn:
                 h = CoordAttn(co, self.attn_reduction, norm=self.norm,
-                              dtype=self.dtype, name=f"ca{i+1}")(h, train)
+                              dtype=self.dtype, use_pallas=self.use_pallas,
+                              name=f"ca{i+1}")(h, train)
             downs.append(h)
         down1, down2, down3, down4 = downs
 

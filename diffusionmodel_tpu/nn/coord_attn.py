@@ -22,14 +22,55 @@ from diffusionmodel_tpu.nn.blocks import Norm, conv, gelu
 from diffusionmodel_tpu.ops.pool import adaptive_avg_pool_axis
 
 
+class _ConvParams(nn.Module):
+    """1x1-conv parameter holder (same tree entries as nn.Conv)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        from diffusionmodel_tpu.nn.init import (
+            make_bias_init,
+            torch_conv_kernel_init,
+        )
+
+        k = self.param("kernel", torch_conv_kernel_init,
+                       (1, 1, self.in_dim, self.out_dim))
+        b = self.param("bias", make_bias_init(self.in_dim), (self.out_dim,))
+        return k, b
+
+
+class _GNParams(nn.Module):
+    """GroupNorm scale/bias holder nested as Norm/GroupNorm_0 (same tree as
+    the Norm wrapper module)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        class _Inner(nn.Module):
+            dim: int
+
+            @nn.compact
+            def __call__(self):
+                return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                        self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+        return _Inner(self.dim, name="GroupNorm_0")()
+
+
 class CoordAttn(nn.Module):
     channels: int
     reduction: int = 16
     norm: str = "group"
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.use_pallas and self.norm == "group":
+            return self._fused_path(x, train)
         identity = x
         n, h, w, c = x.shape
         red = max(1, self.channels // self.reduction)
@@ -71,3 +112,36 @@ class CoordAttn(nn.Module):
         s = alpha + beta + 1e-8
         attention = (alpha / s) * a_h + (beta / s) * a_w  # broadcasts to [B,H,W,C]
         return identity * attention
+
+    def _fused_path(self, x, train: bool):
+        """Pallas-fused CoordAttn (kernels/coord_attn.py) with the identical
+        parameter tree; training uses the differentiable XLA twin on the
+        same parameters."""
+        from diffusionmodel_tpu.kernels.coord_attn import (
+            CoordAttnWeights,
+            coord_attn_fused,
+            coord_attn_xla,
+        )
+        from diffusionmodel_tpu.nn.blocks import gn_groups
+
+        c = self.channels
+        red = max(1, c // self.reduction)
+        k1h, b1h = _ConvParams(c, red, name="conv1_h")()
+        k1w, b1w = _ConvParams(c, red, name="conv1_w")()
+        nh_s, nh_b = _GNParams(red, name="bn1_h")()
+        nw_s, nw_b = _GNParams(red, name="bn1_w")()
+        kh2w, bh2w = _ConvParams(red, red, name="h2w_proj")()
+        kw2h, bw2h = _ConvParams(red, red, name="w2h_proj")()
+        kh, bh = _ConvParams(red, c, name="conv_h")()
+        kw, bw = _ConvParams(red, c, name="conv_w")()
+        gamma_h = self.param("gamma_h", nn.initializers.zeros, (1,))
+        gamma_w = self.param("gamma_w", nn.initializers.zeros, (1,))
+        alpha = self.param("alpha", nn.initializers.zeros, (1,))
+        beta = self.param("beta", nn.initializers.zeros, (1,))
+        wts = CoordAttnWeights.from_arrays(
+            k1h, b1h, k1w, b1w, nh_s, nh_b, nw_s, nw_b, kh2w, bh2w,
+            kw2h, bw2h, kh, bh, kw, bw, gamma_h, gamma_w, alpha, beta)
+        g = gn_groups(red, 8)
+        if train:
+            return coord_attn_xla(x, wts, "group", g)
+        return coord_attn_fused(x, wts, "group", g)

@@ -26,6 +26,7 @@ def build_model(mc: ModelConfig, high_thresh: float = 1.2):
             high_thresh=high_thresh,
             mnist_style_ctx_flip=mc.mnist_style_ctx_flip,
             dtype=dtype,
+            use_pallas=mc.use_pallas,
         )
     if mc.arch == "mnist_unet":
         return MnistContextUnet(

@@ -51,3 +51,39 @@ def test_coord_attn_kernel_matches_module(norm):
     np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-5)
     got_pl = np.asarray(coord_attn_fused(x, wts, kind, g, interpret=True))
     np.testing.assert_allclose(got_pl, want, rtol=1e-4, atol=1e-5)
+
+
+def test_use_pallas_model_same_tree_and_output():
+    """use_pallas=True must keep the identical param tree and (in train
+    mode / interpret-eval) identical outputs to the standard path."""
+    import jax
+
+    from diffusionmodel_tpu.nn import ContextUnet
+
+    kw = dict(in_ch=3, n_feat=16, n_classes=3, img_size=32, norm="group")
+    m0 = ContextUnet(**kw)
+    m1 = ContextUnet(**kw, use_pallas=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    c = jnp.array([0, 2], jnp.int32)
+    t = jnp.full((2,), 0.5)
+    ctx = jnp.ones((2,))
+    v0 = m0.init(jax.random.PRNGKey(1), x, c, t, ctx, train=False)
+    v1 = m1.init(jax.random.PRNGKey(1), x, c, t, ctx, train=False)
+    # identical tree structure and shapes
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert a.shape == b.shape
+    # identical values given identical init keys
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # train path (XLA twin) matches the standard module exactly
+    out0 = m0.apply(v0, x, c, t, ctx, train=True,
+                    rngs={})
+    out1 = m1.apply(v0, x, c, t, ctx, train=True, rngs={})
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), rtol=2e-5,
+                               atol=2e-5)
+    # eval path off-TPU falls back to XLA twin -> also matches
+    out0e = m0.apply(v0, x, c, t, ctx, train=False)
+    out1e = m1.apply(v0, x, c, t, ctx, train=False)
+    np.testing.assert_allclose(np.asarray(out1e), np.asarray(out0e),
+                               rtol=2e-5, atol=2e-5)
