@@ -9,10 +9,11 @@ Architecture (n_feat=192, img 256):
   -> UnetUp x4 with skips -> LocalEnhancer (spatial mask, Q3 fix)
   -> out: cat(up5, init_x) -> conv+GN(8)+ReLU+conv -> in_ch
 
-``pool_size = img_size // 32`` generalizes the hardcoded AvgPool2d(8) /
-ConvTranspose(8,8) pair so the same module runs at any img_size that is a
-multiple of 32 (256 reproduces the reference exactly; small sizes serve the
-multi-chip dry-run and CPU tests).
+``pool = min(8, img_size // 16)`` generalizes the hardcoded AvgPool2d(8) /
+ConvTranspose(8,8) pair: it reproduces the reference exactly at both 256px
+(16x16 down4 -> 2x2 hidden) and 128px (8x8 -> 1x1), and scales the same
+recipe down for the small sizes used by CPU tests and the multi-chip
+dry-run.
 
 The v1 variant (scripy_old.py:124-324) is this network without the
 LocalEnhancer (``use_local_enhancer=False``).
