@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int, default=None, help="Samples per class")
     p.add_argument("--no_eval", action="store_true",
                    help="Skip image quality evaluation")
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=["ancestral", "ddim"],
+                   help="ancestral (reference full-T) or ddim (fast)")
+    p.add_argument("--steps", type=int, default=None,
+                   help="DDIM sampling steps")
     p.add_argument("--preset", type=str, default="full",
                    choices=["full", "old", "mnist", "custom", "generation"])
     p.add_argument("--data_root", type=str, default=None)
@@ -87,6 +92,15 @@ def main(argv=None) -> int:
         import dataclasses as _dc
 
         cfg = cfg.replace(train=_dc.replace(cfg.train, seed=args.seed))
+    if args.sampler or args.steps:
+        import dataclasses as _dc
+
+        sc = cfg.sample
+        if args.sampler:
+            sc = _dc.replace(sc, sampler=args.sampler)
+        if args.steps:
+            sc = _dc.replace(sc, ddim_steps=args.steps)
+        cfg = cfg.replace(sample=sc)
 
     if args.mode == "train":
         from diffusionmodel_tpu.trainer import fit

@@ -122,6 +122,11 @@ class SampleConfig:
     eval_quality: bool = True
     sample_dir: str = "./output/samples/"
     denorm: bool = True
+    # "ancestral" = the reference's full-T loop; "ddim" = fast subsequence
+    # sampling (upgrade), with ddim_steps network evaluations.
+    sampler: str = "ancestral"
+    ddim_steps: int = 50
+    ddim_eta: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -180,3 +180,64 @@ def sample_cfg(
     if return_history:
         return x, hist
     return x
+
+
+def sample_cfg_ddim(
+    apply_fn: Callable[..., jnp.ndarray],
+    key: jax.Array,
+    n_sample: int,
+    img_shape: Tuple[int, int, int],
+    n_classes: int,
+    sched: Schedule,
+    dc: DiffusionConfig,
+    guide_w: float = 0.0,
+    n_steps: int = 50,
+    eta: float = 0.0,
+    classes: Optional[jnp.ndarray] = None,
+):
+    """DDIM sampling over a uniform tau-subsequence of the MAIN family's
+    schedule — a speed upgrade over the reference's full 700-step ancestral
+    loop (10-50x fewer network evaluations at comparable quality). Uses the
+    same CFG arithmetic/orientation flags as :func:`sample_cfg`.
+    """
+    h, w_, ch = img_shape
+    key, xkey = jax.random.split(key)
+    x = jax.random.normal(xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
+
+    if classes is None:
+        c = jnp.arange(n_classes, dtype=jnp.int32)
+        c = jnp.tile(c, n_sample // n_classes + (1 if n_sample % n_classes else 0))
+        c = c[:n_sample]
+    else:
+        c = jnp.asarray(classes, dtype=jnp.int32)
+    c2 = jnp.concatenate([c, c])
+    first = 1.0 if dc.cfg_fixed_orientation else 0.0
+    mask2 = jnp.concatenate(
+        [jnp.full((n_sample,), first), jnp.full((n_sample,), 1.0 - first)]
+    ).astype(jnp.float32)
+
+    # tau subsequence over [1, n_T], descending.
+    taus = jnp.linspace(1, dc.n_T, n_steps).round().astype(jnp.int32)[::-1]
+    taus_prev = jnp.concatenate([taus[1:], jnp.zeros((1,), jnp.int32)])
+    ab = jnp.concatenate([jnp.ones((1,)), sched.alphabar_t[1:]])  # ab[0]=1
+
+    def step(carry, idx):
+        x, key = carry
+        tau, tau_p = idx
+        key, zkey = jax.random.split(key)
+        t_norm = jnp.full((2 * n_sample,), tau.astype(jnp.float32) / dc.n_T)
+        xx = jnp.concatenate([x, x], axis=0)
+        eps = apply_fn(xx, c2, t_norm, mask2, None, False).astype(jnp.float32)
+        e1, e2 = eps[:n_sample], eps[n_sample:]
+        e = (1.0 + guide_w) * e1 - guide_w * e2
+        a, a_prev = ab[tau], ab[tau_p]
+        x0 = (x - jnp.sqrt(1.0 - a) * e) / jnp.sqrt(a)
+        sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a) * (1 - a / a_prev))
+        dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma ** 2, 0.0, None)) * e
+        z = jax.random.normal(zkey, x.shape, dtype=jnp.float32)
+        z = jnp.where(tau_p > 0, z, jnp.zeros_like(z))
+        x = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * z
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), (taus, taus_prev))
+    return x

@@ -25,7 +25,7 @@ import numpy as np
 from diffusionmodel_tpu.checkpoint import save_checkpoint
 from diffusionmodel_tpu.config import Config
 from diffusionmodel_tpu.data import BatchLoader, CrackDataset, stratified_split
-from diffusionmodel_tpu.diffusion import Schedule, sample_cfg
+from diffusionmodel_tpu.diffusion import Schedule, sample_cfg, sample_cfg_ddim
 from diffusionmodel_tpu.metrics import ImageMetrics
 from diffusionmodel_tpu.nn import build_model
 from diffusionmodel_tpu.parallel import (
@@ -72,6 +72,12 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
             return model.apply(variables, x, c, t, ctx, attn_mask=attn,
                                train=False)
 
+        if cfg.sample.sampler == "ddim":
+            return sample_cfg_ddim(
+                apply_fn, key, n_sample,
+                (mc.img_size, mc.img_size, mc.in_ch), mc.n_classes, sched, dc,
+                guide_w=guide_w, n_steps=cfg.sample.ddim_steps,
+                eta=cfg.sample.ddim_eta, classes=classes)
         return sample_cfg(apply_fn, key, n_sample,
                           (mc.img_size, mc.img_size, mc.in_ch), mc.n_classes,
                           sched, dc, guide_w=guide_w, classes=classes)

@@ -156,3 +156,41 @@ def test_sampler_history():
                          dc, return_history=True)
     assert hist.shape == (5, 2, 2, 2, 1)
     np.testing.assert_allclose(np.asarray(hist[-1]), np.asarray(x))
+
+
+def test_ddim_fast_sampler():
+    from diffusionmodel_tpu.diffusion import sample_cfg_ddim
+
+    dc = DiffusionConfig(n_T=100)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+    calls = {"n": 0}
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        calls["n"] += 1
+        return jnp.zeros_like(x)
+
+    x = sample_cfg_ddim(apply_fn, jax.random.PRNGKey(0), 4, (8, 8, 1), 2,
+                        sched, dc, guide_w=2.0, n_steps=10)
+    assert x.shape == (4, 8, 8, 1)
+    assert np.isfinite(np.asarray(x)).all()
+    assert calls["n"] == 1  # traced once inside the scan
+
+
+def test_ddim_with_eps_zero_recovers_scaled_x():
+    # With eps == 0 the DDIM update is x <- sqrt(a_prev/a) * x each step;
+    # composing over the full subsequence gives x_T / sqrt(ab[tau_max]).
+    from diffusionmodel_tpu.diffusion import sample_cfg_ddim
+
+    dc = DiffusionConfig(n_T=50)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        return jnp.zeros_like(x)
+
+    key = jax.random.PRNGKey(1)
+    x = sample_cfg_ddim(apply_fn, key, 2, (4, 4, 1), 2, sched, dc,
+                        n_steps=5, eta=0.0)
+    key2, xkey = jax.random.split(key)
+    x_init = jax.random.normal(xkey, (2, 4, 4, 1), dtype=jnp.float32)
+    expect = np.asarray(x_init) / np.sqrt(np.asarray(sched.alphabar_t)[50])
+    np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-4)
