@@ -1,0 +1,82 @@
+"""Spatial (context-parallel analogue) sharding helpers.
+
+The reference has no sequence axis; the long-context analogue for this
+image family (SURVEY 5.7) is sharding the H axis of large feature maps
+across the mesh and computing the global/per-axis pooled statistics that
+SEBlock/CoordAttn need with ``psum`` collectives over ICI, via
+``shard_map``. These helpers implement that pattern:
+
+- ``sharded_global_mean``: mean over (H, W) with H sharded — each chip
+  reduces its H-slab locally, then one psum.
+- ``sharded_se_block``: the full SEBlock with H-sharded activations; the
+  tiny MLP runs replicated, the scale applies locally (zero extra
+  communication beyond the single psum).
+- ``sharded_directional_pools``: CoordAttn's (H,1)/(1,W) pools with H
+  sharded — the W-pool needs a psum over the H shards; the H-pool is
+  purely local and stays sharded.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def sharded_global_mean(mesh: Mesh, x, axis_name: str = "data"):
+    """x: [B, H, W, C] with H sharded over ``axis_name`` -> [B, C]."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=P(None, axis_name, None, None),
+        out_specs=P(),
+    )
+    def f(xs):
+        local = jnp.sum(xs, axis=(1, 2))  # [B, C] partial sums
+        total = jax.lax.psum(local, axis_name)
+        h_total = xs.shape[1] * jax.lax.psum(1, axis_name)
+        return total / (h_total * xs.shape[2])
+
+    return f(x)
+
+
+def sharded_se_block(mesh: Mesh, x, w1, w2, axis_name: str = "data"):
+    """SEBlock with H-sharded activations: one psum, local scale apply."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, axis_name, None, None), P(), P()),
+        out_specs=P(None, axis_name, None, None),
+    )
+    def f(xs, w1, w2):
+        local = jnp.sum(xs, axis=(1, 2))
+        total = jax.lax.psum(local, axis_name)
+        h_total = xs.shape[1] * jax.lax.psum(1, axis_name)
+        pooled = total / (h_total * xs.shape[2])
+        y = jax.nn.gelu(pooled @ w1, approximate=False)
+        y = jax.nn.sigmoid(y @ w2)
+        return xs * y[:, None, None, :]
+
+    return f(x, w1, w2)
+
+
+def sharded_directional_pools(mesh: Mesh, x, axis_name: str = "data"):
+    """CoordAttn pools with H sharded: returns (x_h [B,H,C] H-sharded,
+    x_w [B,W,C] replicated)."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=P(None, axis_name, None, None),
+        out_specs=(P(None, axis_name, None), P()),
+    )
+    def f(xs):
+        x_h = jnp.mean(xs, axis=2)  # [B, h_local, C] — local, stays sharded
+        partial_w = jnp.sum(xs, axis=1)  # [B, W, C]
+        h_total = xs.shape[1] * jax.lax.psum(1, axis_name)
+        x_w = jax.lax.psum(partial_w, axis_name) / h_total
+        return x_h, x_w
+
+    return f(x)

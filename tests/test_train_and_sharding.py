@@ -162,3 +162,32 @@ def test_early_stop_logic():
     assert es(0.5, S(), 4) is False
     assert es.early_stop
     assert es.best_state["epoch"] == 2
+
+
+def test_spatial_sharding_pools():
+    """Context-parallel analogue: H-sharded pooled statistics via psum."""
+    from diffusionmodel_tpu.parallel.spatial import (
+        sharded_directional_pools,
+        sharded_global_mean,
+        sharded_se_block,
+    )
+
+    mesh = make_mesh(data=8, model=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 16, 8))
+    want_mean = np.asarray(jnp.mean(x, axis=(1, 2)))
+    got = np.asarray(sharded_global_mean(mesh, x))
+    np.testing.assert_allclose(got, want_mean, rtol=1e-5, atol=1e-6)
+
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (8, 4)) * 0.1
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (4, 8)) * 0.1
+    from diffusionmodel_tpu.kernels.se_block import se_block_xla
+
+    want = np.asarray(se_block_xla(x, w1, w2))
+    got = np.asarray(sharded_se_block(mesh, x, w1, w2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    xh, xw = sharded_directional_pools(mesh, x)
+    np.testing.assert_allclose(np.asarray(xh), np.asarray(jnp.mean(x, axis=2)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(jnp.mean(x, axis=1)),
+                               rtol=1e-5, atol=1e-6)
