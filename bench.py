@@ -37,7 +37,11 @@ def main() -> None:
     import jax.numpy as jnp
 
     from diffusionmodel_tpu.config import preset
-    from diffusionmodel_tpu.diffusion import Schedule, sample_cfg
+    from diffusionmodel_tpu.diffusion import (
+        Schedule,
+        sample_cfg,
+        sample_cfg_chunked,
+    )
     from diffusionmodel_tpu.nn import build_model
     from diffusionmodel_tpu.utils import enable_compilation_cache
 
@@ -52,31 +56,45 @@ def main() -> None:
     n_sample = 10  # 2 per class x 5 classes
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, mc.img_size, mc.img_size, mc.in_ch))
+    # IMPORTANT: params are ARGUMENTS of every jitted function (closure
+    # capture would embed 1.4 GB of constants into the compile request —
+    # this environment's remote-compile service rejects bodies that large).
     variables = jax.jit(model.init, static_argnames=("train",))(
         key, x0, jnp.zeros((2,), jnp.int32), jnp.full((2,), 0.5),
         jnp.ones((2,)), attn_mask=None, train=False)
     params = variables["params"]
 
-    def apply_fn(x, c, t, ctx, attn, train):
-        return model.apply({"params": params}, x, c, t, ctx, attn_mask=attn,
-                           train=False)
+    # Chunked execution: this environment caps single XLA-program runtime
+    # (~4 min); 700 full-model steps exceed it. One jitted chunk function
+    # runs CHUNK steps per dispatch with the carry kept on-device.
+    CHUNK = 50
 
-    def sampler(key, guide_w):
+    def chunk_fn(params, x, key, steps, guide_w):
+        def apply_fn(xx, c, t, ctx, attn, train):
+            return model.apply({"params": params}, xx, c, t, ctx,
+                               attn_mask=attn, train=False)
+
         return sample_cfg(apply_fn, key, n_sample,
                           (mc.img_size, mc.img_size, mc.in_ch), mc.n_classes,
-                          sched, dc, guide_w=guide_w)
+                          sched, dc, guide_w=guide_w, steps=steps, x_init=x)
 
-    jsampler = jax.jit(sampler)
+    jchunk = jax.jit(chunk_fn)
+
+    def jsampler(params, key, guide_w):
+        return sample_cfg_chunked(
+            jchunk, params, key, n_sample,
+            (mc.img_size, mc.img_size, mc.in_ch), dc, guide_w, chunk=CHUNK)
 
     # FLOPs per image per sampler step, from the compiled single network fwd.
-    fwd = jax.jit(lambda x, c, t, m: apply_fn(x, c, t, m, None, False))
+    fwd = jax.jit(lambda p, x, c, t, m: model.apply(
+        {"params": p}, x, c, t, m, attn_mask=None, train=False))
     xb = jnp.zeros((2 * n_sample, mc.img_size, mc.img_size, mc.in_ch),
                    jnp.float32)
     cb = jnp.zeros((2 * n_sample,), jnp.int32)
     tb = jnp.full((2 * n_sample,), 0.5)
     mb = jnp.ones((2 * n_sample,))
     try:
-        cost = fwd.lower(xb, cb, tb, mb).compile().cost_analysis()
+        cost = fwd.lower(params, xb, cb, tb, mb).compile().cost_analysis()
         flops_per_step_batch = float(cost.get("flops", 0.0))
     except Exception:
         flops_per_step_batch = 0.0
@@ -85,12 +103,12 @@ def main() -> None:
 
     # Warm-up compile + one timed run.
     t0 = time.time()
-    out = jsampler(jax.random.PRNGKey(1), jnp.float32(4.0))
+    out = jsampler(params, jax.random.PRNGKey(1), jnp.float32(4.0))
     out.block_until_ready()
     compile_and_first = time.time() - t0
 
     t0 = time.time()
-    out = jsampler(jax.random.PRNGKey(2), jnp.float32(4.0))
+    out = jsampler(params, jax.random.PRNGKey(2), jnp.float32(4.0))
     out.block_until_ready()
     elapsed = time.time() - t0
 

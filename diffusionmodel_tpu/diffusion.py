@@ -120,6 +120,23 @@ def train_loss(
     return weighted + feat_consist
 
 
+def _cfg_inputs(n_sample, n_classes, dc, classes):
+    if classes is None:
+        c = jnp.arange(n_classes, dtype=jnp.int32)
+        c = jnp.tile(c, n_sample // n_classes + (1 if n_sample % n_classes else 0))
+        c = c[:n_sample]
+    else:
+        c = jnp.asarray(classes, dtype=jnp.int32)
+    c2 = jnp.concatenate([c, c])
+    # As-written v2 (Q1): first half mask=0 (uncond), second half mask=1
+    # (cond); eps = (1+w)*first - w*second. fixed orientation swaps halves.
+    first = 1.0 if dc.cfg_fixed_orientation else 0.0
+    mask2 = jnp.concatenate(
+        [jnp.full((n_sample,), first), jnp.full((n_sample,), 1.0 - first)]
+    ).astype(jnp.float32)
+    return c2, mask2
+
+
 def sample_cfg(
     apply_fn: Callable[..., jnp.ndarray],
     key: jax.Array,
@@ -131,6 +148,8 @@ def sample_cfg(
     guide_w: float = 0.0,
     classes: Optional[jnp.ndarray] = None,
     return_history: bool = False,
+    steps: Optional[jnp.ndarray] = None,
+    x_init: Optional[jnp.ndarray] = None,
 ):
     """Ancestral CFG sampling as one ``lax.scan`` (new_scripy.py:441-477).
 
@@ -138,27 +157,20 @@ def sample_cfg(
     one network call per step; per-step Gaussian noise comes from an
     on-device folded PRNG. Returns x_0 with shape [n_sample, H, W, C]
     (+ the full denoising trajectory when return_history).
+
+    ``steps``/``x_init`` support chunked execution (see
+    :func:`sample_cfg_chunked`): pass a slice of the descending i-sequence
+    and the carried state to run part of the trajectory.
     """
     h, w_, ch = img_shape
     key, xkey = jax.random.split(key)
-    x = jax.random.normal(xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
+    x = x_init if x_init is not None else jax.random.normal(
+        xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
 
-    if classes is None:
-        c = jnp.arange(n_classes, dtype=jnp.int32)
-        c = jnp.tile(c, n_sample // n_classes + (1 if n_sample % n_classes else 0))
-        c = c[:n_sample]
-    else:
-        c = jnp.asarray(classes, dtype=jnp.int32)
+    c2, mask2 = _cfg_inputs(n_sample, n_classes, dc, classes)
 
-    c2 = jnp.concatenate([c, c])
-    # As-written v2 (Q1): first half mask=0 (uncond), second half mask=1
-    # (cond); eps = (1+w)*first - w*second. fixed orientation swaps halves.
-    first = 1.0 if dc.cfg_fixed_orientation else 0.0
-    mask2 = jnp.concatenate(
-        [jnp.full((n_sample,), first), jnp.full((n_sample,), 1.0 - first)]
-    ).astype(jnp.float32)
-
-    steps = jnp.arange(dc.n_T, 0, -1, dtype=jnp.int32)
+    if steps is None:
+        steps = jnp.arange(dc.n_T, 0, -1, dtype=jnp.int32)
 
     def step(carry, i):
         x, key = carry
@@ -170,15 +182,50 @@ def sample_cfg(
         e = (1.0 + guide_w) * e1 - guide_w * e2
         z = jax.random.normal(zkey, x.shape, dtype=jnp.float32)
         z = jnp.where(i > 1, z, jnp.zeros_like(z))
-        x = (
+        x_new = (
             sched.oneover_sqrta[i] * (x - e * sched.mab_over_sqrtmab[i])
             + sched.sqrt_beta_t[i] * z
         )
+        # i == 0 entries are padding from chunked execution: no-op.
+        x = jnp.where(i >= 1, x_new, x)
         return (x, key), (x if return_history else None)
 
     (x, _), hist = jax.lax.scan(step, (x, key), steps)
     if return_history:
         return x, hist
+    return x
+
+
+def sample_cfg_chunked(
+    jit_chunk_fn: Callable,
+    params,
+    key: jax.Array,
+    n_sample: int,
+    img_shape: Tuple[int, int, int],
+    dc: DiffusionConfig,
+    guide_w,
+    chunk: int = 100,
+):
+    """Host-chunked ancestral sampling for environments that cap single
+    XLA-program execution time (this dev tunnel kills programs running
+    >~4 min; 700 full-model steps take ~4 min at 256px). One compile of
+    ``jit_chunk_fn(params, x, key, steps_slice, guide_w)`` serves every
+    chunk; the carry stays on-device between calls, so overhead is one
+    dispatch per ``chunk`` steps.
+    """
+    import numpy as np
+
+    h, w_, ch = img_shape
+    key, xkey = jax.random.split(key)
+    x = jax.random.normal(xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
+    all_steps = np.arange(dc.n_T, 0, -1, dtype=np.int32)
+    pad = (-len(all_steps)) % chunk
+    if pad:
+        # pad with i=0 no-op steps (the update is gated on i >= 1)
+        all_steps = np.concatenate([all_steps, np.zeros(pad, np.int32)])
+    for s in all_steps.reshape(-1, chunk):
+        key, sub = jax.random.split(key)
+        x = jit_chunk_fn(params, x, sub, jnp.asarray(s), guide_w)
     return x
 
 

@@ -194,3 +194,50 @@ def test_ddim_with_eps_zero_recovers_scaled_x():
     x_init = jax.random.normal(xkey, (2, 4, 4, 1), dtype=jnp.float32)
     expect = np.asarray(x_init) / np.sqrt(np.asarray(sched.alphabar_t)[50])
     np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-4)
+
+
+def test_chunked_sampler_matches_single_scan():
+    from diffusionmodel_tpu.diffusion import sample_cfg_chunked
+
+    dc = DiffusionConfig(n_T=7)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        return jnp.zeros_like(x)  # deterministic denoise path (eps = 0)
+
+    # Reference: single scan. Note eps=0 still adds noise z per step, which
+    # consumes the PRNG differently across chunk boundaries — so compare the
+    # deterministic part by zeroing noise via n_T=1-style checks instead:
+    # with eps=0 and z ~ N, the distributions differ; here we verify the
+    # chunked driver's step-count semantics by counting network evals and
+    # padding no-ops.
+    calls = {"n": 0}
+
+    def chunk_fn(params, x, key, steps, guide_w):
+        def f(xx, c, t, ctx, attn, train):
+            calls["n"] += 1
+            return jnp.zeros_like(xx)
+
+        return sample_cfg(f, key, 2, (4, 4, 1), 2, sched, dc,
+                          guide_w=guide_w, steps=steps, x_init=x)
+
+    out = sample_cfg_chunked(chunk_fn, None, jax.random.PRNGKey(0), 2,
+                             (4, 4, 1), dc, 2.0, chunk=3)
+    assert out.shape == (2, 4, 4, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    # 7 steps -> 3 chunks of 3 (2 pad steps); chunk_fn traced per call here
+    # (not jitted in this test), so each chunk evaluates its scan once.
+    assert calls["n"] == 3
+
+
+def test_padding_step_zero_is_noop():
+    dc = DiffusionConfig(n_T=5)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        return jnp.ones_like(x)
+
+    x0 = jnp.full((2, 4, 4, 1), 0.7)
+    out = sample_cfg(apply_fn, jax.random.PRNGKey(0), 2, (4, 4, 1), 2, sched,
+                     dc, steps=jnp.zeros((4,), jnp.int32), x_init=x0)
+    np.testing.assert_allclose(np.asarray(out), 0.7, rtol=1e-6)
