@@ -107,10 +107,14 @@ def main() -> None:
     out.block_until_ready()
     compile_and_first = time.time() - t0
 
-    t0 = time.time()
-    out = jsampler(params, jax.random.PRNGKey(2), jnp.float32(4.0))
-    out.block_until_ready()
-    elapsed = time.time() - t0
+    # Best of two timed runs — the tunneled dev chip is time-shared and a
+    # single run can be 3-4x slower under contention.
+    elapsed = float("inf")
+    for i in (2, 3):
+        t0 = time.time()
+        out = jsampler(params, jax.random.PRNGKey(i), jnp.float32(4.0))
+        out.block_until_ready()
+        elapsed = min(elapsed, time.time() - t0)
 
     images_per_min = n_sample * 60.0 / elapsed
     steps_per_sec = dc.n_T / elapsed
