@@ -36,6 +36,12 @@ except ImportError:  # pragma: no cover
 VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _erf_gelu(x):
+    """Exact GELU via lax.erf (Pallas TPU lowering lacks erfc, which
+    jax.nn.gelu(approximate=False) lowers to)."""
+    return 0.5 * x * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
+
+
 def _group_norm(v, groups, scale, bias, eps=1e-5):
     """GN over a [L, R] tensor: stats per group over (L, R/g)."""
     l, r = v.shape
@@ -69,8 +75,8 @@ def _make_kernel(norm_kind: str, gn_groups: int):
         else:
             xh1 = _group_norm(xh1, gn_groups, nh[0], nh[1])
             xw1 = _group_norm(xw1, gn_groups, nw[0], nw[1])
-        xh1 = jax.nn.gelu(xh1, approximate=False)
-        xw1 = jax.nn.gelu(xw1, approximate=False)
+        xh1 = _erf_gelu(xh1)
+        xw1 = _erf_gelu(xw1)
 
         r = xh1.shape[-1]
         wmix = wmix_ref[:]  # [2*(R+1), R]: h2w proj then w2h proj stacked

@@ -29,12 +29,18 @@ except ImportError:  # pragma: no cover
 VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _erf_gelu(x):
+    """Exact GELU via lax.erf (Pallas TPU lowering lacks erfc, which
+    jax.nn.gelu(approximate=False) lowers to)."""
+    return 0.5 * x * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
+
+
 def _se_kernel(x_ref, w1_ref, w2_ref, o_ref):
     x = x_ref[0]  # [H, W, C]
     h, w, c = x.shape
     pooled = jnp.mean(x.reshape(h * w, c), axis=0, keepdims=True)  # [1, C]
     y = jnp.dot(pooled, w1_ref[:], preferred_element_type=jnp.float32)
-    y = jax.nn.gelu(y, approximate=False)
+    y = _erf_gelu(y)
     y = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
     scale = jax.nn.sigmoid(y)  # [1, C]
     o_ref[0] = (x * scale[0][None, None, :]).astype(o_ref.dtype)
