@@ -29,8 +29,9 @@ def test_se_kernel_matches_module():
     w2 = variables["params"]["Dense_1"]["kernel"]
     got_xla = np.asarray(se_block_xla(x, w1, w2))
     np.testing.assert_allclose(got_xla, want, rtol=1e-5, atol=1e-6)
+    # kernel uses tanh-GELU (no erf in this Pallas lowering): ~3e-3 max dev
     got_pl = np.asarray(se_block_fused(x, w1, w2, interpret=True))
-    np.testing.assert_allclose(got_pl, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_pl, want, rtol=1e-3, atol=5e-3)
 
 
 @pytest.mark.parametrize("norm", ["group", "batch"])
@@ -49,8 +50,9 @@ def test_coord_attn_kernel_matches_module(norm):
     g = gn_groups(c // 16, 8)
     got_xla = np.asarray(coord_attn_xla(x, wts, kind, g))
     np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-5)
+    # kernel uses tanh-GELU (no erf in this Pallas lowering): ~3e-3 max dev
     got_pl = np.asarray(coord_attn_fused(x, wts, kind, g, interpret=True))
-    np.testing.assert_allclose(got_pl, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_pl, want, rtol=1e-3, atol=5e-3)
 
 
 def test_use_pallas_model_same_tree_and_output():
