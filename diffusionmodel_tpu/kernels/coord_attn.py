@@ -239,8 +239,9 @@ def coord_attn_fused(x, wts: CoordAttnWeights, norm_kind: str = "group",
                      gn_groups: int = 4, force_xla: bool = False,
                      interpret: bool = False):
     b, h, w, c = x.shape
-    itemsize = jnp.dtype(x.dtype).itemsize
-    too_big = h * w * c * itemsize * 2 + 4 * h * w * 4 > VMEM_BUDGET
+    # the kernel upcasts x to f32 and builds the attention map in f32:
+    # ~3 f32-sized copies of the block live simultaneously
+    too_big = h * w * c * 4 * 3 > VMEM_BUDGET
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = _HAS_PALLAS and h == w and not too_big and (on_tpu or interpret)
     if force_xla or not use_pallas:

@@ -62,7 +62,8 @@ def se_block_fused(x, w1, w2, force_xla: bool = False,
     """x: [B,H,W,C]; w1: [C,R]; w2: [R,C]. Returns x * sigmoid(MLP(pool(x)))."""
     b, h, w, c = x.shape
     itemsize = jnp.dtype(x.dtype).itemsize
-    too_big = h * w * c * itemsize * 2 > VMEM_BUDGET
+    # in/out blocks + the reshape copy + the scaled temp live simultaneously
+    too_big = h * w * c * itemsize * 4 > VMEM_BUDGET
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = _HAS_PALLAS and not too_big and (on_tpu or interpret)
     if force_xla or not use_pallas:
