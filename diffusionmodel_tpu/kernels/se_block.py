@@ -1,14 +1,16 @@
 """Fused squeeze-excitation Pallas kernel.
 
 The XLA version of SEBlock (new_scripy.py:143-158) materializes the pooled
-vector and re-reads x to apply the scale — two full passes over the
-feature map. This kernel does pool -> MLP -> sigmoid -> scale in ONE pass
-per (batch, H-strip) block: x is read once from HBM and written once.
+vector and re-reads x to apply the scale. This kernel keeps x in HBM and
+streams H-tiles through a small VMEM scratch with double-buffered DMA:
 
-Grid: (B,). Each program handles one batch element; the feature map block
-[H, W, C] lives in VMEM (the largest map in the flagship model is
-128x128x192 fp32 = 12.6 MB; bf16 halves it). The two MLP matmuls ride the
-MXU. Falls back to plain XLA when shapes exceed VMEM.
+  phase 1: accumulate the global sum tile by tile;
+  phase 2: MLP + sigmoid once, then scale each tile on its way out.
+
+Two HBM reads + one write like XLA, but the pool, the two MLP matmuls
+(MXU) and the scale all run inside one kernel with no intermediate HBM
+round-trips, and VMEM stays bounded (2 tiles + the pooled vector) at every
+feature-map size in the model.
 """
 
 from __future__ import annotations
@@ -26,8 +28,6 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
-VMEM_BUDGET = 12 * 1024 * 1024
-
 
 def _erf_gelu(x):
     """GELU inside Pallas kernels: this TPU lowering implements neither erf
@@ -37,15 +37,83 @@ def _erf_gelu(x):
     return jax.nn.gelu(x, approximate=True)
 
 
-def _se_kernel(x_ref, w1_ref, w2_ref, o_ref):
-    x = x_ref[0]  # [H, W, C]
-    h, w, c = x.shape
-    pooled = jnp.mean(x.reshape(h * w, c), axis=0, keepdims=True)  # [1, C]
-    y = jnp.dot(pooled, w1_ref[:], preferred_element_type=jnp.float32)
-    y = _erf_gelu(y)
-    y = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
-    scale = jax.nn.sigmoid(y)  # [1, C]
-    o_ref[0] = (x * scale[0][None, None, :]).astype(o_ref.dtype)
+def _make_se_kernel(n_tiles: int, tile_h: int):
+    def kernel(x_hbm, w1_ref, w2_ref, o_hbm):
+        def body(buf, obuf, acc, sem_in, sem_out):
+            h, w, c = buf.shape[1], buf.shape[2], buf.shape[3]
+
+            def dma_in(slot, i):
+                return pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(i * tile_h, tile_h)],
+                    buf.at[slot], sem_in.at[slot])
+
+            # phase 1: accumulate sums tile by tile (double buffered)
+            dma_in(0, 0).start()
+            acc[:] = jnp.zeros_like(acc)
+
+            def p1(i, _):
+                slot = i % 2
+
+                @pl.when(i + 1 < n_tiles)
+                def _():
+                    dma_in((i + 1) % 2, i + 1).start()
+
+                dma_in(slot, i).wait()
+                acc[0, :] = acc[0, :] + jnp.sum(
+                    buf[slot].astype(jnp.float32).reshape(-1, buf.shape[3]),
+                    axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, p1, 0)
+
+            total = acc[0, :] / (n_tiles * tile_h * buf.shape[2])
+            y = jnp.dot(total[None, :], w1_ref[:],
+                        preferred_element_type=jnp.float32)
+            y = _erf_gelu(y)
+            y = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
+            scale = jax.nn.sigmoid(y)[0].astype(buf.dtype)
+
+            # phase 2: scale tiles on the way out (double buffered)
+            dma_in(0, 0).start()
+
+            def dma_out(slot, i):
+                return pltpu.make_async_copy(
+                    obuf.at[slot],
+                    o_hbm.at[0, pl.ds(i * tile_h, tile_h)],
+                    sem_out.at[slot])
+
+            def p2(i, _):
+                slot = i % 2
+
+                @pl.when(i + 1 < n_tiles)
+                def _():
+                    dma_in((i + 1) % 2, i + 1).start()
+
+                dma_in(slot, i).wait()
+
+                @pl.when(i >= 2)
+                def _():
+                    dma_out(slot, i - 2).wait()
+
+                obuf[slot] = buf[slot] * scale[None, None, :]
+                dma_out(slot, i).start()
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, p2, 0)
+            dma_out((n_tiles - 2) % 2, n_tiles - 2).wait()
+            dma_out((n_tiles - 1) % 2, n_tiles - 1).wait()
+
+        h, w, c = x_hbm.shape[1], x_hbm.shape[2], x_hbm.shape[3]
+        pl.run_scoped(
+            body,
+            buf=pltpu.VMEM((2, tile_h, w, c), x_hbm.dtype),
+            obuf=pltpu.VMEM((2, tile_h, w, c), x_hbm.dtype),
+            acc=pltpu.VMEM((1, c), jnp.float32),
+            sem_in=pltpu.SemaphoreType.DMA((2,)),
+            sem_out=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    return kernel
 
 
 def se_block_xla(x, w1, w2):
@@ -56,29 +124,41 @@ def se_block_xla(x, w1, w2):
     return x * y[:, None, None, :]
 
 
+def _pick_tiling(h: int, itembytes: int, w: int, c: int,
+                 budget: int = 6 * 1024 * 1024):
+    """Largest H-tile such that 4 tile buffers fit the VMEM budget, with
+    n_tiles >= 2 (the pipeline assumes at least two tiles)."""
+    for n_tiles in (2, 4, 8, 16, 32):
+        if h % n_tiles:
+            continue
+        tile_h = h // n_tiles
+        if 4 * tile_h * w * c * itembytes <= budget:
+            return n_tiles, tile_h
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("force_xla", "interpret"))
 def se_block_fused(x, w1, w2, force_xla: bool = False,
                    interpret: bool = False):
     """x: [B,H,W,C]; w1: [C,R]; w2: [R,C]. Returns x * sigmoid(MLP(pool(x)))."""
     b, h, w, c = x.shape
-    itemsize = jnp.dtype(x.dtype).itemsize
-    # in/out blocks + the reshape copy + the scaled temp live simultaneously
-    too_big = h * w * c * itemsize * 4 > VMEM_BUDGET
     on_tpu = jax.devices()[0].platform == "tpu"
-    use_pallas = _HAS_PALLAS and not too_big and (on_tpu or interpret)
+    tiling = _pick_tiling(h, jnp.dtype(x.dtype).itemsize, w, c)
+    use_pallas = _HAS_PALLAS and tiling is not None and (on_tpu or interpret)
     if force_xla or not use_pallas:
         return se_block_xla(x, w1, w2)
+    n_tiles, tile_h = tiling
     return pl.pallas_call(
-        _se_kernel,
+        _make_se_kernel(n_tiles, tile_h),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+                               memory_space=pltpu.ANY),
         interpret=interpret,
     )(x, w1, w2)
