@@ -39,12 +39,14 @@ def _erf_gelu(x):
 
 def _make_se_kernel(n_tiles: int, tile_h: int):
     def kernel(x_hbm, w1_ref, w2_ref, o_hbm):
+        bi = pl.program_id(0)
+
         def body(buf, obuf, acc, sem_in, sem_out):
             h, w, c = buf.shape[1], buf.shape[2], buf.shape[3]
 
             def dma_in(slot, i):
                 return pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(i * tile_h, tile_h)],
+                    x_hbm.at[bi, pl.ds(i * tile_h, tile_h)],
                     buf.at[slot], sem_in.at[slot])
 
             # phase 1: accumulate sums tile by tile (double buffered)
@@ -79,7 +81,7 @@ def _make_se_kernel(n_tiles: int, tile_h: int):
             def dma_out(slot, i):
                 return pltpu.make_async_copy(
                     obuf.at[slot],
-                    o_hbm.at[0, pl.ds(i * tile_h, tile_h)],
+                    o_hbm.at[bi, pl.ds(i * tile_h, tile_h)],
                     sem_out.at[slot])
 
             def p2(i, _):
@@ -153,12 +155,10 @@ def se_block_fused(x, w1, w2, force_xla: bool = False,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         interpret=interpret,
     )(x, w1, w2)
