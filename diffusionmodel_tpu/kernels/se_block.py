@@ -146,7 +146,11 @@ def se_block_fused(x, w1, w2, force_xla: bool = False,
     b, h, w, c = x.shape
     on_tpu = jax.devices()[0].platform == "tpu"
     tiling = _pick_tiling(h, jnp.dtype(x.dtype).itemsize, w, c)
-    use_pallas = _HAS_PALLAS and tiling is not None and (on_tpu or interpret)
+    # HBM memref slices require a lane-aligned trailing dim (C % 128); the
+    # compiled path pads 192 -> 256 and the slice fails to lower.
+    aligned = c % 128 == 0 or interpret
+    use_pallas = (_HAS_PALLAS and tiling is not None and aligned
+                  and (on_tpu or interpret))
     if force_xla or not use_pallas:
         return se_block_xla(x, w1, w2)
     n_tiles, tile_h = tiling
