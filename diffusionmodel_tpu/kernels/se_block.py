@@ -49,24 +49,39 @@ def _make_se_kernel(n_tiles: int, tile_h: int):
                     x_hbm.at[bi, pl.ds(i * tile_h, tile_h)],
                     buf.at[slot], sem_in.at[slot])
 
-            # phase 1: accumulate sums tile by tile (double buffered)
+            # phase 1: accumulate sums, two tiles per iteration so the
+            # buffer slots stay STATIC (this lowering lacks dynamic_slice
+            # on VMEM reads).
             dma_in(0, 0).start()
             acc[:] = jnp.zeros_like(acc)
 
-            def p1(i, _):
-                slot = i % 2
-
-                @pl.when(i + 1 < n_tiles)
-                def _():
-                    dma_in((i + 1) % 2, i + 1).start()
-
-                dma_in(slot, i).wait()
-                acc[0, :] = acc[0, :] + jnp.sum(
+            def tile_sum(slot):
+                return jnp.sum(
                     buf[slot].astype(jnp.float32).reshape(-1, buf.shape[3]),
                     axis=0)
+
+            def p1(j, _):
+                i0 = 2 * j
+
+                @pl.when(i0 + 1 < n_tiles)
+                def _():
+                    dma_in(1, i0 + 1).start()
+
+                dma_in(0, i0).wait()
+                acc[0, :] = acc[0, :] + tile_sum(0)
+
+                @pl.when(i0 + 2 < n_tiles)
+                def _():
+                    dma_in(0, i0 + 2).start()
+
+                @pl.when(i0 + 1 < n_tiles)
+                def _():
+                    dma_in(1, i0 + 1).wait()
+                    acc[0, :] = acc[0, :] + tile_sum(1)
+
                 return 0
 
-            jax.lax.fori_loop(0, n_tiles, p1, 0)
+            jax.lax.fori_loop(0, n_tiles // 2, p1, 0)
 
             total = acc[0, :] / (n_tiles * tile_h * buf.shape[2])
             y = jnp.dot(total[None, :], w1_ref[:],
@@ -75,7 +90,8 @@ def _make_se_kernel(n_tiles: int, tile_h: int):
             y = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
             scale = jax.nn.sigmoid(y)[0].astype(buf.dtype)
 
-            # phase 2: scale tiles on the way out (double buffered)
+            # phase 2: scale tiles on the way out (static slots, two tiles
+            # per iteration; the out-DMA of a slot is awaited before reuse).
             dma_in(0, 0).start()
 
             def dma_out(slot, i):
@@ -84,26 +100,42 @@ def _make_se_kernel(n_tiles: int, tile_h: int):
                     o_hbm.at[bi, pl.ds(i * tile_h, tile_h)],
                     sem_out.at[slot])
 
-            def p2(i, _):
-                slot = i % 2
+            def p2(j, _):
+                i0 = 2 * j
 
-                @pl.when(i + 1 < n_tiles)
+                @pl.when(i0 + 1 < n_tiles)
                 def _():
-                    dma_in((i + 1) % 2, i + 1).start()
+                    dma_in(1, i0 + 1).start()
 
-                dma_in(slot, i).wait()
+                dma_in(0, i0).wait()
 
-                @pl.when(i >= 2)
+                @pl.when(i0 >= 2)
                 def _():
-                    dma_out(slot, i - 2).wait()
+                    dma_out(0, i0 - 2).wait()
 
-                obuf[slot] = buf[slot] * scale[None, None, :]
-                dma_out(slot, i).start()
+                obuf[0] = buf[0] * scale[None, None, :]
+                dma_out(0, i0).start()
+
+                @pl.when(i0 + 2 < n_tiles)
+                def _():
+                    dma_in(0, i0 + 2).start()
+
+                @pl.when(i0 + 1 < n_tiles)
+                def _():
+                    dma_in(1, i0 + 1).wait()
+
+                    @pl.when(i0 + 1 >= 2)
+                    def _():
+                        dma_out(1, i0 - 1).wait()
+
+                    obuf[1] = buf[1] * scale[None, None, :]
+                    dma_out(1, i0 + 1).start()
+
                 return 0
 
-            jax.lax.fori_loop(0, n_tiles, p2, 0)
-            dma_out((n_tiles - 2) % 2, n_tiles - 2).wait()
-            dma_out((n_tiles - 1) % 2, n_tiles - 1).wait()
+            jax.lax.fori_loop(0, n_tiles // 2, p2, 0)
+            dma_out(0, n_tiles - 2).wait()
+            dma_out(1, n_tiles - 1).wait()
 
         h, w, c = x_hbm.shape[1], x_hbm.shape[2], x_hbm.shape[3]
         pl.run_scoped(
