@@ -64,44 +64,56 @@ def _make_kernel(norm_kind: str, gn_groups: int):
         xh = jnp.mean(x, axis=1)  # [H, C] (mean over W)
         xw = jnp.mean(x, axis=0)  # [W, C] (mean over H)
 
+        # All sub-array reads use lax.slice_in_dim with STATIC bounds —
+        # this Pallas lowering has no dynamic_slice, and jnp integer
+        # indexing routes through it.
+        row = lambda a, i: jax.lax.slice_in_dim(a, i, i + 1, axis=0)
+
         w1h = w1h_ref[:]  # [C+1, R] (bias folded as last row)
         w1w = w1w_ref[:]
-        xh1 = jnp.dot(xh, w1h[:-1], preferred_element_type=jnp.float32) + w1h[-1]
-        xw1 = jnp.dot(xw, w1w[:-1], preferred_element_type=jnp.float32) + w1w[-1]
+        cdim = w1h.shape[0] - 1
+        xh1 = jnp.dot(xh, jax.lax.slice_in_dim(w1h, 0, cdim, axis=0),
+                      preferred_element_type=jnp.float32) + row(w1h, cdim)
+        xw1 = jnp.dot(xw, jax.lax.slice_in_dim(w1w, 0, cdim, axis=0),
+                      preferred_element_type=jnp.float32) + row(w1w, cdim)
 
         nh = nh_ref[:]  # [2, R] scale'/bias'
         nw = nw_ref[:]
         if norm_kind == "affine":
-            xh1 = xh1 * nh[0][None, :] + nh[1][None, :]
-            xw1 = xw1 * nw[0][None, :] + nw[1][None, :]
+            xh1 = xh1 * row(nh, 0) + row(nh, 1)
+            xw1 = xw1 * row(nw, 0) + row(nw, 1)
         else:
-            xh1 = _group_norm(xh1, gn_groups, nh[0], nh[1])
-            xw1 = _group_norm(xw1, gn_groups, nw[0], nw[1])
+            xh1 = _group_norm(xh1, gn_groups, row(nh, 0).reshape(-1),
+                              row(nh, 1).reshape(-1))
+            xw1 = _group_norm(xw1, gn_groups, row(nw, 0).reshape(-1),
+                              row(nw, 1).reshape(-1))
         xh1 = _erf_gelu(xh1)
         xw1 = _erf_gelu(xw1)
 
         r = xh1.shape[-1]
         wmix = wmix_ref[:]  # [2*(R+1), R]: h2w proj then w2h proj stacked
-        h2w = jnp.dot(xh1, wmix[:r], preferred_element_type=jnp.float32) \
-            + wmix[r]
-        w2h = jnp.dot(xw1, wmix[r + 1:2 * r + 1],
-                      preferred_element_type=jnp.float32) + wmix[2 * r + 1]
+        h2w = jnp.dot(xh1, jax.lax.slice_in_dim(wmix, 0, r, axis=0),
+                      preferred_element_type=jnp.float32) + row(wmix, r)
+        w2h = jnp.dot(xw1, jax.lax.slice_in_dim(wmix, r + 1, 2 * r + 1, axis=0),
+                      preferred_element_type=jnp.float32) + row(wmix, 2 * r + 1)
 
         s = scal_ref[:]  # [1, >=4]: sigmoid(gamma_h), sigmoid(gamma_w),
         #                  alpha_norm, beta_norm
-        xh2 = xh1 + s[0, 0] * w2h  # square maps: realign == identity
-        xw2 = xw1 + s[0, 1] * h2w
+        sv = lambda i: jax.lax.slice(s, (0, i), (1, i + 1))  # [1,1] scalar
+        xh2 = xh1 + sv(0) * w2h  # square maps: realign == identity
+        xw2 = xw1 + sv(1) * h2w
 
         wout = wout_ref[:]  # [2R, C]: conv_h then conv_w kernels stacked
         bout = bout_ref[:]  # [2, C]
         a_h = jax.nn.sigmoid(
-            jnp.dot(xh2, wout[:r], preferred_element_type=jnp.float32)
-            + bout[0])  # [H, C]
+            jnp.dot(xh2, jax.lax.slice_in_dim(wout, 0, r, axis=0),
+                    preferred_element_type=jnp.float32) + row(bout, 0))
         a_w = jax.nn.sigmoid(
-            jnp.dot(xw2, wout[r:], preferred_element_type=jnp.float32)
-            + bout[1])  # [W, C]
+            jnp.dot(xw2, jax.lax.slice_in_dim(wout, r, 2 * r, axis=0),
+                    preferred_element_type=jnp.float32) + row(bout, 1))
 
-        attn = s[0, 2] * a_h[:, None, :] + s[0, 3] * a_w[None, :, :]
+        attn = sv(2)[:, :, None] * a_h[:, None, :] \
+            + sv(3)[:, :, None] * a_w[None, :, :]
         o_ref[0] = (x * attn).astype(o_ref.dtype)
 
     return kernel
