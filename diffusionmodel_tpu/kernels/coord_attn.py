@@ -55,6 +55,28 @@ def _group_norm(v, groups, scale, bias, eps=1e-5):
     return vn * scale[None, :] + bias[None, :]
 
 
+def _group_norm_mm(v, groups, scale, bias, eps=1e-5):
+    """GN via group-indicator matmuls — Mosaic rejects the (L,R)->(L,G,R/G)
+    vector reshape, so group sums ride the MXU instead. Uses the
+    E[x^2]-E[x]^2 variance form (fp32)."""
+    l, r = v.shape
+    rg = r // groups
+    gi = (jax.lax.broadcasted_iota(jnp.int32, (r, groups), 0) // rg
+          == jax.lax.broadcasted_iota(jnp.int32, (r, groups), 1)
+          ).astype(jnp.float32)
+    cnt = float(l * rg)
+    sum_g = jnp.dot(jnp.sum(v, 0, keepdims=True), gi,
+                    preferred_element_type=jnp.float32)
+    sumsq_g = jnp.dot(jnp.sum(v * v, 0, keepdims=True), gi,
+                      preferred_element_type=jnp.float32)
+    mean_g = sum_g / cnt
+    var_g = sumsq_g / cnt - mean_g * mean_g
+    mean_r = jnp.dot(mean_g, gi.T, preferred_element_type=jnp.float32)
+    inv_r = jnp.dot(jax.lax.rsqrt(var_g + eps), gi.T,
+                    preferred_element_type=jnp.float32)
+    return (v - mean_r) * inv_r * scale[None, :] + bias[None, :]
+
+
 def _make_kernel(norm_kind: str, gn_groups: int):
     def kernel(x_ref, w1h_ref, w1w_ref, nh_ref, nw_ref, wmix_ref, wout_ref,
                bout_ref, scal_ref, o_ref):
@@ -83,10 +105,10 @@ def _make_kernel(norm_kind: str, gn_groups: int):
             xh1 = xh1 * row(nh, 0) + row(nh, 1)
             xw1 = xw1 * row(nw, 0) + row(nw, 1)
         else:
-            xh1 = _group_norm(xh1, gn_groups, row(nh, 0).reshape(-1),
-                              row(nh, 1).reshape(-1))
-            xw1 = _group_norm(xw1, gn_groups, row(nw, 0).reshape(-1),
-                              row(nw, 1).reshape(-1))
+            xh1 = _group_norm_mm(xh1, gn_groups, row(nh, 0).reshape(-1),
+                                 row(nh, 1).reshape(-1))
+            xw1 = _group_norm_mm(xw1, gn_groups, row(nw, 0).reshape(-1),
+                                 row(nw, 1).reshape(-1))
         xh1 = _erf_gelu(xh1)
         xw1 = _erf_gelu(xw1)
 
