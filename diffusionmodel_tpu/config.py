@@ -111,6 +111,9 @@ class TrainConfig:
     # Data augmentation parity flags.
     hflip_prob: float = 0.5   # new_scripy.py:685
     co_flip_mask: bool = False  # Q5: reference does NOT flip the mask
+    # Rematerialize activations in the backward pass (jax.checkpoint) —
+    # the 353M-param flagship at 256px does not fit 16GB HBM without it.
+    remat: bool = True
 
 
 @dataclass(frozen=True)
