@@ -58,13 +58,18 @@ def _sanitize(obj):
 
 
 def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
-                 n_sample: int, classes=None):
-    """Jitted sampler: (params, batch_stats, key, guide_w) -> images.
-    guide_w is traced, so one compile covers every guidance scale."""
+                 n_sample: int, classes=None, chunk: int = 50):
+    """Sampler: (params, batch_stats, key, guide_w) -> images. guide_w is
+    traced, so one compile covers every guidance scale. The ancestral path
+    is chunk-driven (this environment kills XLA programs running >~4 min;
+    700 full-model steps exceed it); DDIM jits whole."""
+    from diffusionmodel_tpu.diffusion import sample_cfg_chunked
+
     dc = cfg.diffusion
     mc = cfg.model
+    shape = (mc.img_size, mc.img_size, mc.in_ch)
 
-    def sfn(params, batch_stats, key, guide_w):
+    def _apply(params, batch_stats):
         def apply_fn(x, c, t, ctx, attn, train):
             variables = {"params": params}
             if has_bn:
@@ -72,17 +77,32 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
             return model.apply(variables, x, c, t, ctx, attn_mask=attn,
                                train=False)
 
-        if cfg.sample.sampler == "ddim":
-            return sample_cfg_ddim(
-                apply_fn, key, n_sample,
-                (mc.img_size, mc.img_size, mc.in_ch), mc.n_classes, sched, dc,
-                guide_w=guide_w, n_steps=cfg.sample.ddim_steps,
-                eta=cfg.sample.ddim_eta, classes=classes)
-        return sample_cfg(apply_fn, key, n_sample,
-                          (mc.img_size, mc.img_size, mc.in_ch), mc.n_classes,
-                          sched, dc, guide_w=guide_w, classes=classes)
+        return apply_fn
 
-    return jax.jit(sfn)
+    if cfg.sample.sampler == "ddim":
+        @jax.jit
+        def sfn(params, batch_stats, key, guide_w):
+            return sample_cfg_ddim(
+                _apply(params, batch_stats), key, n_sample, shape,
+                mc.n_classes, sched, dc, guide_w=guide_w,
+                n_steps=cfg.sample.ddim_steps, eta=cfg.sample.ddim_eta,
+                classes=classes)
+
+        return sfn
+
+    @jax.jit
+    def jchunk(params, batch_stats, x, key, steps, guide_w):
+        return sample_cfg(_apply(params, batch_stats), key, n_sample, shape,
+                          mc.n_classes, sched, dc, guide_w=guide_w,
+                          classes=classes, steps=steps, x_init=x)
+
+    def sfn(params, batch_stats, key, guide_w):
+        return sample_cfg_chunked(
+            lambda p, x, k, s, w: jchunk(p, batch_stats, x, k, s, w),
+            params, key, n_sample, shape, dc, guide_w,
+            chunk=min(chunk, dc.n_T))
+
+    return sfn
 
 
 def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
