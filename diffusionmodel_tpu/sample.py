@@ -43,8 +43,16 @@ def gen_samples(cfg: Config, ckpt_path: str,
     do_eval = sc.eval_quality if eval_quality is None else eval_quality
 
     if dataset is None:
-        dataset = CrackDataset(cfg.data_root, img_size=mc.img_size)
-    classes = dataset.classes or [str(i) for i in range(mc.n_classes)]
+        try:
+            dataset = CrackDataset(cfg.data_root, img_size=mc.img_size)
+        except FileNotFoundError:
+            # no dataset on disk: generic class names, no quality eval
+            # (the reference requires ./cropped_images/ even for pure
+            # generation — relaxed here)
+            dataset = None
+            do_eval = False
+    classes = (dataset.classes if dataset is not None and dataset.classes
+               else [f"class_{i}" for i in range(mc.n_classes)])
     n_classes = len(classes)
     if n_classes != mc.n_classes:
         import dataclasses as _dc
@@ -70,7 +78,7 @@ def gen_samples(cfg: Config, ckpt_path: str,
 
     real_images = None
     img_metrics = metrics_impl if metrics_impl is not None else ImageMetrics()
-    if do_eval and len(dataset) > 0:
+    if do_eval and dataset is not None and len(dataset) > 0:
         needed = n_per * min(n_classes, 4)
         rng = np.random.RandomState(seed)
         order = rng.permutation(len(dataset))[:needed]
