@@ -131,10 +131,11 @@ class _Mapper:
         self.dense(fpath + ("Dense_0",), f"{tkey}.model.0")
         self.dense(fpath + ("Dense_1",), f"{tkey}.model.2")
 
-    def unet_down_v2(self, fpath, tkey, kind):
-        self.conv(fpath + ("Conv_0",), f"{tkey}.channel_compress.0")
-        self.norm(fpath + ("Norm_0",), f"{tkey}.channel_compress.1", kind)
-        self.conv(fpath + ("Conv_1",), f"{tkey}.ch_adjust")
+    def unet_down_v2(self, fpath, tkey, kind, compress="channel_compress",
+                     adjust="ch_adjust"):
+        self.conv(fpath + ("Conv_0",), f"{tkey}.{compress}.0")
+        self.norm(fpath + ("Norm_0",), f"{tkey}.{compress}.1", kind)
+        self.conv(fpath + ("Conv_1",), f"{tkey}.{adjust}")
         self.conv(fpath + ("Conv_2",), f"{tkey}.down.0")
         self.norm(fpath + ("Norm_1",), f"{tkey}.down.1", kind)
         self.resconv(fpath + ("ResConvBlock_0",), f"{tkey}.down.3", kind, True)
@@ -195,6 +196,72 @@ def convert_context_unet_v2(state_dict: Dict[str, np.ndarray],
     return m.params, m.batch_stats
 
 
+def convert_context_unet_v1(state_dict: Dict[str, np.ndarray],
+                            norm: str = "batch") -> Tuple[Dict, Dict]:
+    """scripy_old.py v1 ContextUnet (scripy_old.py:241-324) weights -> flax.
+    Same architecture as v2 minus LocalEnhancer, with different torch
+    attribute names (channel_compressor/channel_adjust, timeembed*/
+    contextembed*)."""
+    sd = _strip_prefix(state_dict)
+    m = _Mapper(sd)
+    m.resconv(("init_conv",), "init_conv", norm, True)
+    for i in range(1, 5):
+        m.unet_down_v2((f"down{i}",), f"down{i}", norm,
+                       compress="channel_compressor", adjust="channel_adjust")
+        m.coord_attn((f"ca{i}",), f"ca{i}", norm)
+    m.embed_fc(("time_emb1",), "timeembed1")
+    m.embed_fc(("time_emb2",), "timeembed2")
+    m.embed_fc(("ctx_emb1",), "contextembed1")
+    m.embed_fc(("ctx_emb2",), "contextembed2")
+    m.conv(("up0_convt",), "up0.0", transposed=True)
+    m.gn(("up0_gn",), "up0.1")
+    for i in range(1, 5):
+        m.unet_up_v2((f"up{i}",), f"up{i}", norm)
+    m.conv(("out_conv1",), "out.0")
+    m.gn(("out_gn",), "out.1")
+    m.conv(("out_conv2",), "out.3")
+    return m.params, m.batch_stats
+
+
+def convert_cbam_unet(state_dict: Dict[str, np.ndarray], norm: str = "batch"
+                      ) -> Tuple[Dict, Dict]:
+    """custom_dataset.py v1.5 CBAM ContextUnet (custom_dataset.py:168-252)
+    weights -> flax (CbamContextUnet)."""
+    sd = _strip_prefix(state_dict)
+    m = _Mapper(sd)
+    m.resconv(("init_conv",), "init_conv", norm, False)
+    for i in range(1, 5):
+        # _Down: ResConv + conv4x4s2 + GN + GELU (model.0 / model.1 / model.2)
+        m.resconv((f"down{i}", "ResConvBlock_0"), f"down{i}.model.0", norm,
+                  False)
+        m.conv((f"down{i}", "Conv_0"), f"down{i}.model.1")
+        m.gn((f"down{i}", "GroupNorm_0"), f"down{i}.model.2")
+        # CBAM
+        m.conv((f"cbam{i}", "channel_attention", "mlp1"),
+               f"cbam{i}.channel_attention.shared_MLP.0")
+        m.conv((f"cbam{i}", "channel_attention", "mlp2"),
+               f"cbam{i}.channel_attention.shared_MLP.2")
+        m.conv((f"cbam{i}", "spatial_attention", "conv7"),
+               f"cbam{i}.spatial_attention.conv2d")
+    for ours, theirs in (("contextembed1", "contextembed1"),
+                         ("contextembed2", "contextembed2"),
+                         ("timeembed1", "timeembed1"),
+                         ("timeembed2", "timeembed2")):
+        m.embed_fc((ours,), theirs)
+    m.conv(("up0_convt",), "up0.0", transposed=True)
+    m.gn(("up0_gn",), "up0.1")
+    for i in range(1, 5):
+        m.conv((f"up{i}", "ConvTranspose_0"), f"up{i}.model.0",
+               transposed=True)
+        m.resconv((f"up{i}", "ResConvBlock_0"), f"up{i}.model.1", norm, False)
+        m.resconv((f"up{i}", "ResConvBlock_1"), f"up{i}.model.2", norm, False)
+    m.local_enhancer(("local_enhance",), "local_enhance")
+    m.conv(("out_conv1",), "out.0")
+    m.gn(("out_gn",), "out.1")
+    m.conv(("out_conv2",), "out.3")
+    return m.params, m.batch_stats
+
+
 def convert_mnist_unet(state_dict: Dict[str, np.ndarray], norm: str = "batch"
                        ) -> Tuple[Dict, Dict]:
     """MNIST ContextUnet (MNIST_script.py:119-187) weights -> flax trees."""
@@ -219,8 +286,12 @@ def convert_mnist_unet(state_dict: Dict[str, np.ndarray], norm: str = "batch"
 
 def convert_state_dict(state_dict: Dict[str, np.ndarray], arch: str,
                        norm: str = "batch") -> Tuple[Dict, Dict]:
-    if arch in ("context_unet_v2", "context_unet_v1"):
+    if arch == "context_unet_v2":
         return convert_context_unet_v2(state_dict, norm)
+    if arch == "context_unet_v1":
+        return convert_context_unet_v1(state_dict, norm)
+    if arch == "cbam_unet":
+        return convert_cbam_unet(state_dict, norm)
     if arch == "mnist_unet":
         return convert_mnist_unet(state_dict, norm)
     raise ValueError(f"no converter for arch {arch!r}")

@@ -165,13 +165,14 @@ class LocalEnhancer(nn.Module):
     channels: int
     high_thresh: float = 1.2
     dtype: jnp.dtype = jnp.float32
+    act: str = "gelu"  # v2 uses GELU (new_scripy.py:168); v1.5 ReLU
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         h = conv(self.channels, 3, self.channels, dtype=self.dtype)(x)
         h = nn.GroupNorm(num_groups=gn_groups(self.channels, 8), epsilon=1e-5,
                          dtype=self.dtype)(h)
-        h = gelu(h)
+        h = gelu(h) if self.act == "gelu" else nn.relu(h)
         h = conv(self.channels, 3, self.channels, dtype=self.dtype)(h)
         if mask is None:
             return x

@@ -190,6 +190,7 @@ class CbamContextUnet(nn.Module):
                   name="up4")(up4, down1, train)
 
         up5 = LocalEnhancer(nf, self.high_thresh, dtype=self.dtype,
+                            act="relu",  # custom_dataset.py:160 uses ReLU
                             name="local_enhance")(up5, attn_mask)
 
         out = jnp.concatenate([up5, x0], axis=-1)

@@ -218,3 +218,65 @@ def test_schedule_parity_vs_reference_impl(ref):
     for k, v in want.items():
         np.testing.assert_allclose(np.asarray(got[k]), v.numpy(), rtol=1e-5,
                                    atol=5e-6, err_msg=k)
+
+
+def test_full_v1_context_unet_parity():
+    """scripy_old.py v1 ContextUnet (no LocalEnhancer — the proven-runnable
+    full-size config) vs our arch context_unet_v1."""
+    ref_old = load_reference_module("scripy_old")
+    if ref_old is None:
+        pytest.skip("reference not mounted")
+    torch.manual_seed(6)
+    tmod = ref_old.ContextUnet(in_channels=3, n_feat=16, n_classes=3).eval()
+    sd = {k: _np(v) for k, v in tmod.state_dict().items()}
+    from diffusionmodel_tpu.compat.torch_convert import convert_context_unet_v1
+
+    params, bs = convert_context_unet_v1(sd, norm="batch")
+    jm = ContextUnet(in_ch=3, n_feat=16, n_classes=3, img_size=128,
+                     norm="batch", use_local_enhancer=False)
+    rng = np.random.RandomState(9)
+    x = rng.randn(2, 128, 128, 3).astype(np.float32)
+    c = np.array([0, 2], np.int64)
+    t = np.array([0.2, 0.9], np.float32)
+    ctx = np.array([1.0, 0.0], np.float32)
+    got = np.asarray(jm.apply(
+        {"params": params, "batch_stats": bs}, jnp.asarray(x),
+        jnp.asarray(c.astype(np.int32)), jnp.asarray(t), jnp.asarray(ctx),
+        attn_mask=None, train=False))
+    with torch.no_grad():
+        want = _np(tmod(torch.from_numpy(x).permute(0, 3, 1, 2),
+                        torch.from_numpy(c), torch.from_numpy(t),
+                        torch.from_numpy(ctx))).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_full_cbam_unet_parity():
+    """custom_dataset.py v1.5 CBAM ContextUnet vs our cbam_unet (n_classes=1
+    + identity-patched local enhancer — Q3 applies to v1.5 too)."""
+    ref_c = load_reference_module("custom_dataset")
+    if ref_c is None:
+        pytest.skip("reference not mounted")
+    torch.manual_seed(7)
+    tmod = ref_c.ContextUnet(in_channels=3, n_feat=16, n_classes=1).eval()
+    tmod.local_enhance.forward = lambda x, mask: x
+    sd = {k: _np(v) for k, v in tmod.state_dict().items()}
+    from diffusionmodel_tpu.compat.torch_convert import convert_cbam_unet
+    from diffusionmodel_tpu.nn.cbam_unet import CbamContextUnet
+
+    params, bs = convert_cbam_unet(sd, norm="batch")
+    jm = CbamContextUnet(in_ch=3, n_feat=16, n_classes=1, img_size=128,
+                         norm="batch")
+    rng = np.random.RandomState(10)
+    x = rng.randn(2, 128, 128, 3).astype(np.float32)
+    c = np.zeros((2,), np.int64)
+    t = np.array([0.4, 0.6], np.float32)
+    ctx = np.ones((2,), np.float32)
+    got = np.asarray(jm.apply(
+        {"params": params, "batch_stats": bs}, jnp.asarray(x),
+        jnp.asarray(c.astype(np.int32)), jnp.asarray(t), jnp.asarray(ctx),
+        attn_mask=None, train=False))
+    with torch.no_grad():
+        want = _np(tmod(torch.from_numpy(x).permute(0, 3, 1, 2),
+                        torch.from_numpy(c), torch.from_numpy(t),
+                        torch.from_numpy(ctx))).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
