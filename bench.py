@@ -53,7 +53,7 @@ def main() -> None:
     model = build_model(mc, dc.high_thresh)
     sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
 
-    n_sample = 10  # 2 per class x 5 classes
+    n_sample = 20  # 4 per class x 5 classes (batch 40 with CFG doubling)
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, mc.img_size, mc.img_size, mc.in_ch))
     # IMPORTANT: params are ARGUMENTS of every jitted function (closure
