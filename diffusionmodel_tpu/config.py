@@ -114,6 +114,12 @@ class TrainConfig:
     # Rematerialize activations in the backward pass (jax.checkpoint) —
     # the 353M-param flagship at 256px does not fit 16GB HBM without it.
     remat: bool = True
+    # Observability (SURVEY 5.1/5.2): capture a jax.profiler trace of one
+    # early epoch into this directory; debug_nans enables jax's NaN checker
+    # (the reference has neither — it only prints wall-clock per epoch).
+    profile_dir: str = ""
+    profile_epoch: int = 1
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

@@ -113,6 +113,8 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     but never loads it (SURVEY 5.3)."""
     enable_compilation_cache()
     tc, mc, dc = cfg.train, cfg.model, cfg.diffusion
+    if tc.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     os.makedirs(tc.save_dir, exist_ok=True)
     metrics_dir = os.path.join(tc.save_dir, "metrics")
@@ -240,6 +242,9 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     with mesh:
         for ep in range(start_epoch, tc.n_epoch):
             t_ep = time.time()
+            profiling = bool(tc.profile_dir) and ep == tc.profile_epoch
+            if profiling:
+                jax.profiler.start_trace(tc.profile_dir)
             losses = []
             nsteps = 0
             t_steps = time.time()
@@ -250,6 +255,10 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
                 losses.append(loss)
                 nsteps += 1
             losses = [float(l) for l in losses]  # sync once per epoch
+            if profiling:
+                jax.profiler.stop_trace()
+                if verbose:
+                    print(f"Saved profiler trace to {tc.profile_dir}")
             steps_per_sec = nsteps / max(time.time() - t_steps, 1e-9)
             avg_train = float(np.mean(losses)) if losses else float("nan")
             for l in losses:

@@ -57,3 +57,19 @@ def test_fit_resume(tiny_mnist_cfg):
         train=dataclasses.replace(tiny_mnist_cfg.train, n_epoch=3))
     state = fit(cfg2, dataset=ds, verbose=False, resume=ck)
     assert int(state.step) > 0
+
+
+def test_fit_with_profiler_trace(tmp_path, tiny_mnist_cfg):
+    import dataclasses
+
+    ds = MnistDataset(synthetic=True, n_synthetic=96)
+    prof = str(tmp_path / "prof")
+    cfg = tiny_mnist_cfg.replace(train=dataclasses.replace(
+        tiny_mnist_cfg.train, n_epoch=1, profile_dir=prof, profile_epoch=0,
+        save_dir=str(tmp_path / "out")))
+    fit(cfg, dataset=ds, verbose=False)
+    # a trace directory with at least one event file must exist
+    found = []
+    for root, _, files in os.walk(prof):
+        found.extend(files)
+    assert found, "profiler trace not written"
