@@ -51,3 +51,25 @@ def save_samples(images: np.ndarray, path: str, nrow: Optional[int] = None,
     if denorm:
         images = images * 0.5 + 0.5
     return save_image(make_grid(images, nrow=nrow), path, denorm=False)
+
+
+def mnist_eval_grid(gen: np.ndarray, real: np.ndarray, real_labels,
+                    n_classes: int, path: str, invert: bool = True) -> str:
+    """The MNIST eval artifact (MNIST_script.py:359-371): generated samples
+    on top, one class-ordered row-set of real images below, saved with the
+    reference's value inversion (grid = x*-1 + 1)."""
+    gen = np.asarray(gen, np.float32)
+    real = np.asarray(real, np.float32)
+    real_labels = np.asarray(real_labels)
+    n_sample = len(gen)
+    per_class = max(1, n_sample // n_classes)
+    picked = np.zeros_like(gen[: per_class * n_classes])
+    for k in range(n_classes):
+        idxs = np.where(real_labels == k)[0]
+        for j in range(per_class):
+            src = real[idxs[j]] if j < len(idxs) else real[0]
+            picked[k + j * n_classes] = src
+    x_all = np.concatenate([gen, picked], axis=0)
+    if invert:
+        x_all = x_all * -1 + 1
+    return save_image(make_grid(x_all, nrow=n_classes), path, denorm=False)

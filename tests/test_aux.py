@@ -95,3 +95,14 @@ def test_visualize_dataset(tmp_path):
     out = visualize_dataset_samples(ds, n_samples=3,
                                     out_path=str(tmp_path / "viz.png"))
     assert os.path.exists(out)
+
+
+def test_mnist_eval_grid(tmp_path):
+    from diffusionmodel_tpu.utils.grid import mnist_eval_grid
+
+    rng = np.random.RandomState(0)
+    gen = rng.rand(20, 28, 28, 1).astype(np.float32)
+    real = rng.rand(40, 28, 28, 1).astype(np.float32)
+    labels = np.tile(np.arange(10), 4)
+    p = mnist_eval_grid(gen, real, labels, 10, str(tmp_path / "g.png"))
+    assert os.path.exists(p) and os.path.getsize(p) > 0
