@@ -106,3 +106,17 @@ def test_mnist_eval_grid(tmp_path):
     labels = np.tile(np.arange(10), 4)
     p = mnist_eval_grid(gen, real, labels, 10, str(tmp_path / "g.png"))
     assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_cli_flag_aliases():
+    from diffusionmodel_tpu.cli import build_parser
+
+    p = build_parser()
+    # reference spellings
+    a = p.parse_args(["--mode", "generate", "--ckpt", "x",
+                      "--guide_scales", "2.0", "4.0", "--samples", "3"])
+    assert a.ckpt == "x" and a.guide_scales == [2.0, 4.0] and a.samples == 3
+    # BASELINE.json alias spellings
+    b = p.parse_args(["--mode", "generate", "--checkpoint", "y",
+                      "--guidance_scales", "6.0", "--samples_per_class", "5"])
+    assert b.ckpt == "y" and b.guide_scales == [6.0] and b.samples == 5
