@@ -18,8 +18,8 @@ Re-design of the reference train loop internals (new_scripy.py:767-848):
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+
+from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
