@@ -49,15 +49,32 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:
     return path
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Tolerant loader: orbax dir, pickle, or torch .pt (via compat)."""
+def load_checkpoint(path: str, arch: Optional[str] = None,
+                    norm: str = "batch") -> Dict[str, Any]:
+    """Tolerant loader: orbax dir, pickle, or torch .pt (via compat).
+
+    For ``.pt``/``.pth`` files, ``arch``/``norm`` (from the ModelConfig)
+    select the compat converter that maps the torch state dict (flat
+    ``nn_model.*`` keys, OIHW kernels) onto this package's flax trees.
+    Without ``arch`` a torch file cannot be used as model weights — the raw
+    numpy state dict is returned under ``torch_state_dict`` so callers get a
+    clear error instead of a flax param-structure mismatch.
+    """
     if path.endswith(".pkl"):
         with open(path, "rb") as f:
             return pickle.load(f)
     if path.endswith((".pt", ".pth")):
-        from diffusionmodel_tpu.compat.torch_convert import load_torch_checkpoint
+        from diffusionmodel_tpu.compat.torch_convert import (
+            convert_state_dict,
+            load_torch_checkpoint,
+        )
 
-        return load_torch_checkpoint(path)
+        raw = load_torch_checkpoint(path)
+        sd = raw.pop("model_state_dict")
+        if arch is None:
+            return {"torch_state_dict": sd, **raw}
+        params, batch_stats = convert_state_dict(sd, arch, norm)
+        return {"params": params, "batch_stats": batch_stats, **raw}
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
@@ -69,6 +86,11 @@ def extract_params(ckpt: Dict[str, Any]) -> Any:
     torch layout), or a bare params tree — mirroring the reference's
     fallback chain (new_scripy.py:975-990)."""
     if isinstance(ckpt, dict):
+        if "torch_state_dict" in ckpt:
+            raise ValueError(
+                "torch .pt checkpoint was loaded without an arch — pass "
+                "arch/norm (from the ModelConfig) to load_checkpoint so the "
+                "state dict is converted to flax params")
         if "params" in ckpt:
             return ckpt["params"]
         if "model_state_dict" in ckpt:

@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int, default=None, help="Samples per class")
     p.add_argument("--no_eval", action="store_true",
                    help="Skip image quality evaluation")
+    p.add_argument("--inception_weights", type=str, default=None,
+                   help="torchvision inception_v3 state dict (.pt/.pth/.npz) "
+                        "for real Inception FID; without it the in-loop "
+                        "metric is reported as fid_proxy")
     p.add_argument("--sampler", type=str, default=None,
                    choices=["ancestral", "ddim"],
                    help="ancestral (reference full-T) or ddim (fast)")
@@ -102,6 +106,12 @@ def main(argv=None) -> int:
             sc = _dc.replace(sc, ddim_steps=args.steps)
         cfg = cfg.replace(sample=sc)
 
+    metrics_impl = None
+    if args.inception_weights:
+        from diffusionmodel_tpu.metrics import ImageMetrics
+
+        metrics_impl = ImageMetrics(inception_weights=args.inception_weights)
+
     if args.mode == "train":
         from diffusionmodel_tpu.trainer import fit
 
@@ -114,7 +124,8 @@ def main(argv=None) -> int:
             except FileNotFoundError:
                 print("MNIST IDX files not found; using synthetic fallback")
                 dataset = MnistDataset(synthetic=True, n_synthetic=2048)
-        fit(cfg, dataset=dataset, resume=args.resume)
+        fit(cfg, dataset=dataset, metrics_impl=metrics_impl,
+            resume=args.resume)
         return 0
     if args.mode == "generate":
         if args.ckpt is None:
@@ -127,6 +138,7 @@ def main(argv=None) -> int:
             n_samples_per_class=args.samples,
             guide_scales=args.guide_scales,
             eval_quality=not args.no_eval,
+            metrics_impl=metrics_impl,
         )
         return 0
     if args.mode == "crop":

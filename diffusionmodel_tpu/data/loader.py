@@ -80,12 +80,32 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
+            # Bounded in-flight window (num_workers + prefetch chunks): each
+            # chunk is submitted only as an earlier one is handed off, so at
+            # most window+prefetch assembled batches exist at once — the
+            # epoch's decoded images can never pile up in host RAM.
+            window = self.num_workers + self.prefetch
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futs = [pool.submit(self._assemble, ch) for ch in chunks]
-                for f in futs:
+                from collections import deque
+
+                futs = deque(pool.submit(self._assemble, ch)
+                             for ch in chunks[:window])
+                next_i = len(futs)
+                while futs:
                     if stop.is_set():
+                        for f in futs:
+                            f.cancel()
                         return
-                    q.put(f.result())
+                    item = futs.popleft().result()
+                    if next_i < len(chunks):
+                        futs.append(pool.submit(self._assemble, chunks[next_i]))
+                        next_i += 1
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -37,7 +37,8 @@ def cosine_warm_restarts(lr0: float, steps_per_epoch: int, t0: int = 10,
 def linear_decay(lr0: float, steps_per_epoch: int, n_epoch: int):
     def schedule(count):
         epoch = count // steps_per_epoch
-        return lr0 * (1.0 - epoch.astype(jnp.float32) / n_epoch)
+        e = epoch.astype(jnp.float32) if hasattr(epoch, "astype") else float(epoch)
+        return lr0 * (1.0 - e / n_epoch)
 
     return schedule
 

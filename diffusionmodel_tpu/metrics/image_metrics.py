@@ -120,6 +120,18 @@ class ImageMetrics:
         self._feature_fn = feature_fn
         self._inception_weights = inception_weights
         self.batch_size = batch_size
+        # Which extractor produced the FID: "inception" (converted
+        # torchvision weights — comparable to published FID), "custom"
+        # (caller-supplied fn), or "proxy" (the random-projection fallback,
+        # reported as "fid_proxy" so it can never be mistaken for
+        # Inception FID).
+        self.feature_kind = "custom" if feature_fn is not None else (
+            "inception" if inception_weights else "proxy")
+
+    @property
+    def fid_key(self) -> str:
+        return "fid" if self.feature_kind in ("inception", "custom") \
+            else "fid_proxy"
 
     def _features(self):
         if self._feature_fn is None:
@@ -173,10 +185,10 @@ class ImageMetrics:
         gen_images = np.asarray(gen_images)
         if len(real_images) >= 10 and len(gen_images) >= 10:
             try:
-                metrics["fid"] = self.calc_fid(real_images, gen_images)
+                metrics[self.fid_key] = self.calc_fid(real_images, gen_images)
             except Exception as e:  # mirror the reference's NaN-on-failure
                 print(f"FID calculation failed: {e}")
-                metrics["fid"] = float("nan")
+                metrics[self.fid_key] = float("nan")
         if len(real_images) == len(gen_images):
             ssims = [calc_ssim(r, g) for r, g in zip(real_images, gen_images)]
             psnrs = [calc_psnr(r, g) for r, g in zip(real_images, gen_images)]

@@ -62,14 +62,21 @@ def gen_samples(cfg: Config, ckpt_path: str,
 
     if verbose:
         print(f"Loading checkpoint: {ckpt_path}")
-    ckpt = load_checkpoint(ckpt_path)
+    ckpt = load_checkpoint(ckpt_path, arch=mc.arch, norm=mc.norm)
     params = extract_params(ckpt)
     batch_stats = ckpt.get("batch_stats", {}) if isinstance(ckpt, dict) else {}
 
     model = build_model(mc, dc.high_thresh)
     sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
     n_sample = n_per * n_classes
-    sampler = make_sampler(model, cfg, sched, bool(batch_stats), n_sample)
+    # Block-ordered classes (class 0 x n_per, class 1 x n_per, ...) so the
+    # per-class filenames and grid rows below are correct. The reference's
+    # gen_samples has a latent mislabeling bug here: its sample() regenerates
+    # classes cyclically (arange(n_classes) tiled, new_scripy.py:447-448)
+    # while the filenames assume block order (new_scripy.py:1051-1061).
+    gen_classes = jnp.asarray(np.repeat(np.arange(n_classes), n_per), jnp.int32)
+    sampler = make_sampler(model, cfg, sched, bool(batch_stats), n_sample,
+                           classes=gen_classes)
 
     out_dir = os.path.join(sc.sample_dir, f"samples_{int(time.time())}")
     os.makedirs(out_dir, exist_ok=True)

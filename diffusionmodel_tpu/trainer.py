@@ -34,6 +34,7 @@ from diffusionmodel_tpu.parallel import (
     param_shardings,
     replicated,
 )
+from diffusionmodel_tpu.lr_schedules import build_schedule
 from diffusionmodel_tpu.train import (
     EarlyStop,
     TrainState,
@@ -160,7 +161,7 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     if resume:
         from diffusionmodel_tpu.checkpoint import extract_params, load_checkpoint
 
-        ckpt = load_checkpoint(resume)
+        ckpt = load_checkpoint(resume, arch=mc.arch, norm=mc.norm)
         state = state.replace(params=extract_params(ckpt))
         if isinstance(ckpt, dict):
             if ckpt.get("batch_stats"):
@@ -225,6 +226,9 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     img_metrics = metrics_impl if metrics_impl is not None else ImageMetrics()
 
     early_stop = EarlyStop(tc.patience, tc.min_delta, verbose=verbose)
+    lr_schedule_fn = build_schedule(
+        tc.lr_schedule, tc.lr, steps_per_epoch, n_epoch=tc.n_epoch,
+        t0=tc.sgdr_t0, t_mult=tc.sgdr_t_mult, eta_min=tc.sgdr_eta_min)
 
     def save_ckpt(state, epoch, loss, is_best=False):
         name = "best_model" if is_best else f"ckpt_ep{epoch}"
@@ -239,6 +243,8 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
             print(f"Saved {'best ' if is_best else ''}checkpoint: {path}")
 
     train_loss_ema = None
+    last_ep = start_epoch - 1  # actual last completed epoch
+    last_saved_ep = -1
     with mesh:
         for ep in range(start_epoch, tc.n_epoch):
             t_ep = time.time()
@@ -277,7 +283,10 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
             val_loss = float(np.mean([float(v) for v in vlosses])) if vlosses \
                 else float("nan")
             metrics_log["val_loss"].append(val_loss)
-            metrics_log["lr"].append(float(tc.lr))
+            # the LIVE scheduled LR for this epoch, not the base lr — the
+            # reference logs the scheduler's current value
+            # (new_scripy.py:913-917).
+            metrics_log["lr"].append(float(lr_schedule_fn(ep * steps_per_epoch)))
             if verbose:
                 print(f"Epoch {ep+1}/{tc.n_epoch} train {avg_train:.4f} "
                       f"val {val_loss:.4f} ({steps_per_sec:.2f} steps/s)")
@@ -317,16 +326,24 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
             if ((ep + 1) % tc.save_freq == 0 or ep == tc.n_epoch - 1) \
                     and ep >= tc.min_save_ep:
                 save_ckpt(state, ep, train_loss_ema or 0.0)
+                last_saved_ep = ep
             if is_best:
                 save_ckpt(state, ep, val_loss, is_best=True)
 
             with open(os.path.join(metrics_dir, f"metrics_ep{ep}.json"),
                       "w") as f:
                 json.dump(_sanitize(metrics_log), f, indent=2)
+            last_ep = ep
             if verbose:
                 print(f"Epoch time: {time.time() - t_ep:.2f}s")
 
-        save_ckpt(state, tc.n_epoch - 1, train_loss_ema or 0.0)
+        # Final save stamped with the ACTUAL last completed epoch (so a
+        # later --resume starts at last_ep+1, not n_epoch); skipped when
+        # early-stopped (best_model_early holds the state) or when that
+        # epoch was already checkpointed in-loop.
+        if (not early_stop.early_stop and last_ep >= start_epoch
+                and last_ep != last_saved_ep):
+            save_ckpt(state, last_ep, train_loss_ema or 0.0)
     if early_stop.best_state is not None:
         state = state.replace(
             params=jax.device_put(early_stop.best_state["params"], p_shard),

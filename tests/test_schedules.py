@@ -31,10 +31,18 @@ def test_schedule_matches_numpy_twin():
 
 
 def test_schedule_identity_mab():
-    # mab_over_sqrtmab == (1-alpha)/sqrtmab by construction.
-    s = {k: np.asarray(v) for k, v in ddpm_schedules(1e-4, 0.02, 700).items()}
+    # mab_over_sqrtmab == (1-alpha)/sqrtmab by construction — verified
+    # against a float64 recomputation. (The buffers are correctly-rounded
+    # fp32 of float64 math; rebuilding the identity from the fp32-rounded
+    # alpha would inject ~ulp(alpha)/beta cancellation error, so the fp32
+    # identity only holds against the f64 pipeline.)
+    s = {k: np.asarray(v, np.float64)
+         for k, v in ddpm_schedules(1e-4, 0.02, 700).items()}
+    t = np.arange(0, 701, dtype=np.float64)
+    beta = (0.02 - 1e-4) * t / 700 + 1e-4
+    ab = np.exp(np.cumsum(np.log(1 - beta)))
     np.testing.assert_allclose(
-        s["mab_over_sqrtmab"], (1 - s["alpha_t"]) / s["sqrtmab"], rtol=1e-6
+        s["mab_over_sqrtmab"], beta / np.sqrt(1 - ab), rtol=1e-6
     )
 
 
