@@ -29,9 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffusionmodel_tpu.ops.resize import resize_bilinear_align_corners
-
-
 def _to_unit_range(img: np.ndarray) -> np.ndarray:
     return (img + 1.0) / 2.0 if img.min() < 0 else img
 
@@ -159,11 +156,14 @@ class ImageMetrics:
             if batch.shape[-1] == 1:
                 batch = jnp.tile(batch, (1, 1, 1, 3))
             if batch.shape[1] != 299 or batch.shape[2] != 299:
-                # torch F.interpolate(align_corners=False) is half-pixel;
-                # the reference resizes with bilinear here — close enough for
-                # features, but we use exact align-corners matmuls for
-                # determinism.
-                batch = resize_bilinear_align_corners(batch, 299, 299)
+                # the reference resizes with F.interpolate(bilinear,
+                # align_corners=False) = half-pixel centers
+                # (new_scripy.py:1138-1141) — jax.image.resize "bilinear"
+                # has exactly those semantics (cross-checked in
+                # tests/test_inception_parity.py).
+                batch = jax.image.resize(
+                    batch, (batch.shape[0], 299, 299, batch.shape[-1]),
+                    method="bilinear")
             feats.append(np.asarray(fn(batch)))
         return np.concatenate(feats, axis=0)
 

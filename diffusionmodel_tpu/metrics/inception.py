@@ -40,8 +40,12 @@ class BasicConv2d(nn.Module):
 
 
 def _avgpool3(x):
+    # torchvision uses F.avg_pool2d(x, 3, stride=1, padding=1) whose default
+    # divides by the FULL window (count_include_pad=True) — border pixels
+    # differ by up to ~1.0 under the flax default of False (caught by the
+    # torch cross-check in tests/test_inception_parity.py).
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                       count_include_pad=False)
+                       count_include_pad=True)
 
 
 def _maxpool3s2(x):
