@@ -136,6 +136,8 @@ class SampleConfig:
     sampler: str = "ancestral"
     ddim_steps: int = 50
     ddim_eta: float = 0.0
+    # "uniform" | "quad" tau spacing (reference ddim.py:42-50 offers both).
+    ddim_discretize: str = "uniform"
 
 
 @dataclass(frozen=True)

@@ -241,11 +241,16 @@ def sample_cfg_ddim(
     n_steps: int = 50,
     eta: float = 0.0,
     classes: Optional[jnp.ndarray] = None,
+    discretize: str = "uniform",
 ):
-    """DDIM sampling over a uniform tau-subsequence of the MAIN family's
-    schedule — a speed upgrade over the reference's full 700-step ancestral
-    loop (10-50x fewer network evaluations at comparable quality). Uses the
-    same CFG arithmetic/orientation flags as :func:`sample_cfg`.
+    """DDIM sampling over a tau-subsequence of the MAIN family's schedule —
+    a speed upgrade over the reference's full 700-step ancestral loop
+    (10-50x fewer network evaluations at comparable quality). Uses the same
+    CFG arithmetic/orientation flags as :func:`sample_cfg`.
+
+    ``discretize``: "uniform" tau spacing, or "quad" — quadratic spacing
+    concentrating steps near t=0 (the reference's DDIM offers both,
+    reference/stable_diffusion/sampler/ddim.py:42-50).
     """
     h, w_, ch = img_shape
     key, xkey = jax.random.split(key)
@@ -263,8 +268,17 @@ def sample_cfg_ddim(
         [jnp.full((n_sample,), first), jnp.full((n_sample,), 1.0 - first)]
     ).astype(jnp.float32)
 
-    # tau subsequence over [1, n_T], descending.
-    taus = jnp.linspace(1, dc.n_T, n_steps).round().astype(jnp.int32)[::-1]
+    # tau subsequence over [1, n_T], descending (host-side: static shapes).
+    import numpy as np
+
+    if discretize == "quad":
+        taus_np = ((np.linspace(0, np.sqrt(dc.n_T * 0.8), n_steps) ** 2)
+                   .astype(np.int64) + 1).clip(1, dc.n_T)
+    elif discretize == "uniform":
+        taus_np = np.linspace(1, dc.n_T, n_steps).round().astype(np.int64)
+    else:
+        raise ValueError(f"unknown discretize {discretize!r}")
+    taus = jnp.asarray(taus_np[::-1].copy(), jnp.int32)
     taus_prev = jnp.concatenate([taus[1:], jnp.zeros((1,), jnp.int32)])
     ab = jnp.concatenate([jnp.ones((1,)), sched.alphabar_t[1:]])  # ab[0]=1
 

@@ -54,14 +54,18 @@ class DDIMSampler:
         self.sqrt_one_minus_alpha = jnp.sqrt(1.0 - self.alpha)
         self.n_steps = len(self.time_steps)
 
-    def get_x_prev_and_pred_x0(self, eps, index, x, temperature, key):
+    def get_x_prev_and_pred_x0(self, eps, index, x, temperature, key,
+                               repeat_noise: bool = False):
         a = self.alpha[index]
         a_prev = self.alpha_prev[index]
         sigma = self.sigma[index]
         sqrt_oma = self.sqrt_one_minus_alpha[index]
         pred_x0 = (x - sqrt_oma * eps) / jnp.sqrt(a)
         dir_xt = jnp.sqrt(1.0 - a_prev - sigma ** 2) * eps
-        noise = jax.random.normal(key, x.shape, x.dtype) * temperature
+        # repeat_noise: ONE noise draw shared across the batch
+        # (sampler/ddim.py:118-134 via noise_like(..., repeat=True)).
+        nshape = (1,) + x.shape[1:] if repeat_noise else x.shape
+        noise = jax.random.normal(key, nshape, x.dtype) * temperature
         noise = jnp.where(sigma > 0, noise, 0.0)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise
         return x_prev, pred_x0
@@ -84,7 +88,8 @@ class DDIMSampler:
             t = jnp.full((n,), tsteps[index], jnp.int32)
             eps = cfg_eps(self.model.eps_fn, x, t, cond, uncond_cond,
                           uncond_scale)
-            x, _ = self.get_x_prev_and_pred_x0(eps, index, x, temperature, sub)
+            x, _ = self.get_x_prev_and_pred_x0(eps, index, x, temperature,
+                                               sub, repeat_noise=repeat_noise)
             return (x, key), None
 
         (x, _), _ = jax.lax.scan(step, (x, key), indices)

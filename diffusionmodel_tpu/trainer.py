@@ -87,7 +87,7 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
                 _apply(params, batch_stats), key, n_sample, shape,
                 mc.n_classes, sched, dc, guide_w=guide_w,
                 n_steps=cfg.sample.ddim_steps, eta=cfg.sample.ddim_eta,
-                classes=classes)
+                classes=classes, discretize=cfg.sample.ddim_discretize)
 
         return sfn
 

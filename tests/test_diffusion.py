@@ -241,3 +241,26 @@ def test_padding_step_zero_is_noop():
     out = sample_cfg(apply_fn, jax.random.PRNGKey(0), 2, (4, 4, 1), 2, sched,
                      dc, steps=jnp.zeros((4,), jnp.int32), x_init=x0)
     np.testing.assert_allclose(np.asarray(out), 0.7, rtol=1e-6)
+
+
+def test_ddim_quad_discretization_main_family():
+    # eps == 0 makes the DDIM update x <- sqrt(a_prev/a)*x; telescoping over
+    # the quad tau subsequence gives x_T / sqrt(ab[tau_max]) — verifies the
+    # quad spacing feeds the same update math as uniform.
+    from diffusionmodel_tpu.diffusion import sample_cfg_ddim
+
+    dc = DiffusionConfig(n_T=50)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        return jnp.zeros_like(x)
+
+    key = jax.random.PRNGKey(1)
+    x = sample_cfg_ddim(apply_fn, key, 2, (4, 4, 1), 2, sched, dc,
+                        n_steps=5, eta=0.0, discretize="quad")
+    tau_max = int(((np.linspace(0, np.sqrt(50 * 0.8), 5)) ** 2
+                   ).astype(np.int64)[-1] + 1)
+    key2, xkey = jax.random.split(key)
+    x_init = jax.random.normal(xkey, (2, 4, 4, 1), dtype=jnp.float32)
+    expect = np.asarray(x_init) / np.sqrt(np.asarray(sched.alphabar_t)[tau_max])
+    np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-4)

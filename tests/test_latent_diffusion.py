@@ -146,3 +146,57 @@ def test_flash_attention_matches_xla():
     got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
                                      interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_ddim_repeat_noise_shares_noise_across_batch(tiny_ldm):
+    # repeat_noise=True draws ONE noise sample broadcast over the batch
+    # (sampler/ddim.py:118-134, noise_like repeat=True); with identical
+    # inputs the stochastic (eta>0) update must then be identical per row.
+    s = DDIMSampler(tiny_ldm, n_steps=5, ddim_eta=1.0)
+    x = jnp.ones((3, 8, 8, 4))
+    eps = jnp.full_like(x, 0.1)
+    idx = jnp.asarray(1)  # sigma[1] > 0 (index 0 has alpha_prev=ab[0])
+    assert float(s.sigma[idx]) > 0
+    key = jax.random.PRNGKey(7)
+    x_rep, _ = s.get_x_prev_and_pred_x0(eps, idx, x, 1.0, key,
+                                        repeat_noise=True)
+    x_ind, _ = s.get_x_prev_and_pred_x0(eps, idx, x, 1.0, key,
+                                        repeat_noise=False)
+    np.testing.assert_allclose(np.asarray(x_rep[0]), np.asarray(x_rep[1]))
+    np.testing.assert_allclose(np.asarray(x_rep[0]), np.asarray(x_rep[2]))
+    assert not np.allclose(np.asarray(x_ind[0]), np.asarray(x_ind[1]))
+    # and the full sampler accepts/uses the flag
+    cond = jnp.zeros((2, 7, 16))
+    out = s.sample(jax.random.PRNGKey(0), (2, 8, 8, 4), cond,
+                   repeat_noise=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ddim_quad_discretization(tiny_ldm):
+    # quad spacing: ((linspace(0, sqrt(T*0.8), S))^2).astype(int) + 1
+    # (reference/stable_diffusion/sampler/ddim.py:42-50).
+    s = DDIMSampler(tiny_ldm, n_steps=5, discretize="quad")
+    T = tiny_ldm.n_steps
+    want = ((np.linspace(0, np.sqrt(T * 0.8), 5)) ** 2).astype(int) + 1
+    np.testing.assert_array_equal(np.asarray(s.time_steps), want)
+    cond = jnp.zeros((1, 7, 16))
+    out = s.sample(jax.random.PRNGKey(0), (1, 8, 8, 4), cond)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ddim_skip_steps(tiny_ldm):
+    s = DDIMSampler(tiny_ldm, n_steps=5)
+    cond = jnp.zeros((1, 7, 16))
+    x_last = jnp.ones((1, 8, 8, 4))
+    # skip all steps -> empty scan -> x_last returned untouched
+    out_all_skipped = s.sample(jax.random.PRNGKey(0), (1, 8, 8, 4), cond,
+                               x_last=x_last, skip_steps=s.n_steps)
+    np.testing.assert_allclose(np.asarray(out_all_skipped),
+                               np.asarray(x_last))
+    # skipping part of the trajectory changes the result vs running it all
+    out_skip2 = s.sample(jax.random.PRNGKey(0), (1, 8, 8, 4), cond,
+                         x_last=x_last, skip_steps=2)
+    out_full = s.sample(jax.random.PRNGKey(0), (1, 8, 8, 4), cond,
+                        x_last=x_last, skip_steps=0)
+    assert np.isfinite(np.asarray(out_skip2)).all()
+    assert not np.allclose(np.asarray(out_skip2), np.asarray(out_full))
