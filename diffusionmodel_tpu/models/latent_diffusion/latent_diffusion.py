@@ -32,14 +32,21 @@ def ldm_schedule(n_steps: int = 1000, linear_start: float = 0.00085,
 
 class CLIPTextEmbedder:
     """HF CLIP ViT-L/14 text encoder (clip_embedder.py:20-50), max_len 77.
-    Requires the `transformers` package AND locally cached weights."""
+
+    With no ``tokenizer``/``model`` injected, loads pretrained weights by
+    name (requires the `transformers` package AND locally cached weights).
+    Injection lets tests exercise the tokenize-pad-77 -> (B,77,d) contract
+    offline with a tiny random-config FlaxCLIPTextModel."""
 
     def __init__(self, model_name: str = "openai/clip-vit-large-patch14",
-                 max_length: int = 77):
-        from transformers import CLIPTokenizer, FlaxCLIPTextModel
+                 max_length: int = 77, tokenizer=None, model=None):
+        if tokenizer is None or model is None:
+            from transformers import CLIPTokenizer, FlaxCLIPTextModel
 
-        self.tokenizer = CLIPTokenizer.from_pretrained(model_name)
-        self.model = FlaxCLIPTextModel.from_pretrained(model_name)
+            tokenizer = tokenizer or CLIPTokenizer.from_pretrained(model_name)
+            model = model or FlaxCLIPTextModel.from_pretrained(model_name)
+        self.tokenizer = tokenizer
+        self.model = model
         self.max_length = max_length
 
     def __call__(self, prompts):
