@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=None,
                    help="DDIM sampling steps")
     p.add_argument("--preset", type=str, default="full",
-                   choices=["full", "old", "mnist", "custom", "generation"])
+                   choices=["full", "old", "mnist", "custom", "labml",
+                            "generation"])
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--epochs", type=int, default=None)
@@ -124,6 +125,23 @@ def main(argv=None) -> int:
             except FileNotFoundError:
                 print("MNIST IDX files not found; using synthetic fallback")
                 dataset = MnistDataset(synthetic=True, n_synthetic=2048)
+        elif args.preset == "labml":
+            # CelebA-style image folder (reference/ddpm/experiment.py:151-186)
+            from diffusionmodel_tpu.data import (
+                ImageFolderDataset,
+                SyntheticImageDataset,
+            )
+
+            try:
+                dataset = ImageFolderDataset(
+                    cfg.data_root, img_size=cfg.model.img_size,
+                    channels=cfg.model.in_ch)
+            except (FileNotFoundError, NotADirectoryError):
+                print(f"No image folder at {cfg.data_root}; "
+                      "using synthetic fallback")
+                dataset = SyntheticImageDataset(
+                    n=512, img_size=cfg.model.img_size,
+                    channels=cfg.model.in_ch)
         fit(cfg, dataset=dataset, metrics_impl=metrics_impl,
             resume=args.resume)
         return 0

@@ -34,7 +34,8 @@ from typing import Tuple
 class ModelConfig:
     """Denoiser network configuration (ContextUnet family)."""
 
-    arch: str = "context_unet_v2"  # context_unet_v2 | context_unet_v1 | mnist_unet | cbam_unet
+    # context_unet_v2 | context_unet_v1 | mnist_unet | cbam_unet | ddpm_unet
+    arch: str = "context_unet_v2"
     in_ch: int = 3                 # new_scripy.py:25  IN_CH
     n_feat: int = 192              # new_scripy.py:24  N_FEAT
     n_classes: int = 5
@@ -54,6 +55,13 @@ class ModelConfig:
     use_pallas: bool = False
     # Compute dtype ("float32" or "bfloat16"); params always float32.
     dtype: str = "float32"
+    # ddpm_unet (annotated-DDPM family) only — reference/ddpm/unet.py:308-417:
+    # channel multipliers per level, attention per level, res blocks per level,
+    # dropout inside residual blocks (experiment.py trains with 0.1).
+    ch_mults: Tuple[int, ...] = (1, 2, 2, 4)
+    is_attn: Tuple[bool, ...] = (False, False, True, True)
+    n_blocks: int = 2
+    dropout: float = 0.1
 
 
 @dataclass(frozen=True)
@@ -72,6 +80,10 @@ class DiffusionConfig:
     low_weight: float = 0.5
     feat_consist_weight: float = 2.0
     use_weighted_loss: bool = True      # False => plain MSE (MNIST/old variants)
+    # "reference": arange(0,T+1)/T schedule, t ~ U[1,T] (new_scripy.py:358-384).
+    # "textbook": linspace/cumprod schedule, t ~ U[0,T), plain MSE — the
+    # vendored labml formulation (reference/ddpm/__init__.py:187-192, 257-287).
+    schedule_family: str = "reference"
     # Quirk flags — see module docstring.
     cfg_fixed_orientation: bool = False  # Q1
     local_enhancer_spatial_mask: bool = True  # Q3 (fix; literal wiring crashes)
@@ -192,6 +204,30 @@ def preset(name: str, **overrides) -> Config:
             model=ModelConfig(arch="cbam_unet", n_feat=128, img_size=128),
             diffusion=DiffusionConfig(n_T=500, high_weight=1.5),
             train=TrainConfig(batch_size=8, accum_steps=4),
+        )
+    elif name == "labml":
+        # The vendored annotated-DDPM experiment (reference/ddpm/
+        # experiment.py:34-99): 64ch UNet with ch_mults (1,2,2,4) /
+        # attn (F,F,T,T), T=1000 linspace/cumprod schedule, plain MSE,
+        # Adam 2e-5, batch 64, CelebA-style 64px image folder (or 32px
+        # MNIST) — unconditional (n_classes=1).
+        cfg = Config(
+            model=ModelConfig(
+                arch="ddpm_unet", in_ch=3, n_feat=64, n_classes=1,
+                img_size=64, use_coord_attn=False, use_se=False,
+                use_local_enhancer=False,
+            ),
+            diffusion=DiffusionConfig(
+                n_T=1000, beta1=1e-4, beta2=0.02,
+                schedule_family="textbook", use_weighted_loss=False,
+                feat_consist_weight=0.0, drop_prob=0.0,
+            ),
+            train=TrainConfig(
+                batch_size=64, accum_steps=1, lr=2e-5, weight_decay=0.0,
+                n_epoch=100, lr_schedule="none", optimizer="adam",
+                grad_clip=0.0, hflip_prob=0.0,
+            ),
+            sample=SampleConfig(guide_scales=(0.0,), samples_per_class=16),
         )
     elif name == "generation":
         # Generation sweep config: guidance 2/4/6, 5 samples/class, full eval.

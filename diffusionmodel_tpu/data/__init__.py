@@ -4,3 +4,7 @@ from diffusionmodel_tpu.data.crack_dataset import (  # noqa: F401
     stratified_split,
 )
 from diffusionmodel_tpu.data.loader import BatchLoader  # noqa: F401
+from diffusionmodel_tpu.data.image_folder import (  # noqa: F401
+    ImageFolderDataset,
+    SyntheticImageDataset,
+)

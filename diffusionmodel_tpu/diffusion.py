@@ -90,6 +90,22 @@ def train_loss(
     """
     tkey, nkey, mkey = jax.random.split(key, 3)
     b = x.shape[0]
+
+    if dc.schedule_family == "textbook":
+        # labml formulation (reference/ddpm/__init__.py:257-287): t ~ U[0,T),
+        # abar = cumprod(1-linspace beta), plain MSE; `sched` here is a
+        # TextbookSchedule and the network receives the RAW timestep (its
+        # sinusoidal TimeEmbedding does the encoding). Unconditional family:
+        # context inputs are placeholders the adapter ignores.
+        ts = jax.random.randint(tkey, (b,), 0, dc.n_T)
+        noise = jax.random.normal(nkey, x.shape, dtype=jnp.float32)
+        ab = sched.alpha_bar[ts][:, None, None, None]
+        x_t = jnp.sqrt(ab) * x.astype(jnp.float32) + jnp.sqrt(1.0 - ab) * noise
+        ctx_mask = jnp.zeros((b,), jnp.float32)
+        eps_pred = apply_fn(x_t, c, ts.astype(jnp.float32), ctx_mask, None,
+                            train).astype(jnp.float32)
+        return jnp.mean((noise - eps_pred) ** 2)
+
     ts = jax.random.randint(tkey, (b,), 1, dc.n_T + 1)
     noise = jax.random.normal(nkey, x.shape, dtype=jnp.float32)
     x_t = q_sample(sched, x.astype(jnp.float32), ts, noise)

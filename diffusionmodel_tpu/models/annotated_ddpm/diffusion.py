@@ -78,23 +78,34 @@ class DenoiseDiffusion:
         return jnp.mean((eps - eps_theta) ** 2)
 
     def sample(self, key, n: int, img_shape: Tuple[int, int, int],
-               track_x0: bool = False):
+               track_x0: bool = False,
+               steps: Optional[jnp.ndarray] = None,
+               x_init: Optional[jnp.ndarray] = None):
         """Full reverse process as one lax.scan; optionally also return the
         per-step x0 estimates (denoise-animation capability,
-        reference/ddpm/evaluate.py:90-129)."""
+        reference/ddpm/evaluate.py:90-129).
+
+        ``steps``/``x_init`` support chunked execution (environments capping
+        single-XLA-program runtime): pass a slice of the descending
+        t-sequence (pad with t=-1 no-ops) and the carried state.
+        """
         key, xkey = jax.random.split(key)
-        x = jax.random.normal(xkey, (n,) + tuple(img_shape), dtype=jnp.float32)
-        steps = jnp.arange(self.n_steps - 1, -1, -1, dtype=jnp.int32)
+        x = x_init if x_init is not None else jax.random.normal(
+            xkey, (n,) + tuple(img_shape), dtype=jnp.float32)
+        if steps is None:
+            steps = jnp.arange(self.n_steps - 1, -1, -1, dtype=jnp.int32)
 
         def step(carry, t):
             x, key = carry
             key, sub = jax.random.split(key)
-            tb = jnp.full((n,), t, dtype=jnp.int32)
+            tb = jnp.full((n,), jnp.maximum(t, 0), dtype=jnp.int32)
             out = None
             if track_x0:
                 eps = self.eps_fn(x, tb)
                 out = self.p_x0(x, tb, eps)
-            x = self.p_sample_step(x, tb, sub)
+            x_new = self.p_sample_step(x, tb, sub)
+            # t == -1 entries are padding from chunked execution: no-op.
+            x = jnp.where(t >= 0, x_new, x)
             return (x, key), out
 
         (x, _), x0s = jax.lax.scan(step, (x, key), steps)

@@ -96,6 +96,7 @@ class DdpmUNet(nn.Module):
     ch_mults: Tuple[int, ...] = (1, 2, 2, 4)
     is_attn: Tuple[bool, ...] = (False, False, True, True)
     n_blocks: int = 2
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x, t, train: bool = False):
@@ -108,7 +109,7 @@ class DdpmUNet(nn.Module):
         for i, mult in enumerate(self.ch_mults):
             out_ch = self.n_channels * mult
             for _ in range(self.n_blocks):
-                x = ResidualBlock(out_ch)(x, t_emb, train)
+                x = ResidualBlock(out_ch, dropout=self.dropout)(x, t_emb, train)
                 if self.is_attn[i]:
                     x = AttentionBlock()(x)
                 skips.append(x)
@@ -118,21 +119,21 @@ class DdpmUNet(nn.Module):
             ch = out_ch
 
         # middle
-        x = ResidualBlock(ch)(x, t_emb, train)
+        x = ResidualBlock(ch, dropout=self.dropout)(x, t_emb, train)
         x = AttentionBlock()(x)
-        x = ResidualBlock(ch)(x, t_emb, train)
+        x = ResidualBlock(ch, dropout=self.dropout)(x, t_emb, train)
 
         # up path
         for i, mult in reversed(list(enumerate(self.ch_mults))):
             out_ch = self.n_channels * mult
             for _ in range(self.n_blocks):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
-                x = ResidualBlock(out_ch)(x, t_emb, train)
+                x = ResidualBlock(out_ch, dropout=self.dropout)(x, t_emb, train)
                 if self.is_attn[i]:
                     x = AttentionBlock()(x)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             out_ch = self.n_channels * (self.ch_mults[i - 1] if i > 0 else 1)
-            x = ResidualBlock(out_ch)(x, t_emb, train)
+            x = ResidualBlock(out_ch, dropout=self.dropout)(x, t_emb, train)
             if i > 0:
                 c = x.shape[-1]
                 x = nn.ConvTranspose(c, (4, 4), strides=(2, 2),
@@ -141,3 +142,37 @@ class DdpmUNet(nn.Module):
         x = nn.GroupNorm(num_groups=8)(x)
         x = swish(x)
         return nn.Conv(self.image_channels, (3, 3), padding=((1, 1), (1, 1)))(x)
+
+
+class DdpmUNetAdapter(nn.Module):
+    """Adapts :class:`DdpmUNet` to the framework's conditional denoiser
+    interface ``(x, c, t, ctx_mask, attn_mask, train) -> eps`` so the
+    annotated-DDPM family trains through the same pjit step / trainer /
+    sampler as the ContextUnet family (``arch="ddpm_unet"``).
+
+    The labml model is UNCONDITIONAL (reference/ddpm/experiment.py trains
+    without labels): class/context/attention inputs are accepted and
+    ignored; ``t`` arrives as the RAW timestep value (the textbook family
+    feeds integers in [0, T), unlike the main family's t/T scalar — the
+    sinusoidal TimeEmbedding expects exactly that, reference/ddpm/
+    unet.py:44-83).
+    """
+
+    image_channels: int = 3
+    n_channels: int = 64
+    ch_mults: Tuple[int, ...] = (1, 2, 2, 4)
+    is_attn: Tuple[bool, ...] = (False, False, True, True)
+    n_blocks: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, c, t, ctx_mask, attn_mask=None, train: bool = False):
+        del c, ctx_mask, attn_mask  # unconditional family
+        return DdpmUNet(
+            image_channels=self.image_channels,
+            n_channels=self.n_channels,
+            ch_mults=self.ch_mults,
+            is_attn=self.is_attn,
+            n_blocks=self.n_blocks,
+            dropout=self.dropout,
+        )(x, t, train=train)

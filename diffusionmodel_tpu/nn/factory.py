@@ -38,6 +38,19 @@ def build_model(mc: ModelConfig, high_thresh: float = 1.2):
             mnist_style_ctx_flip=mc.mnist_style_ctx_flip,
             dtype=dtype,
         )
+    if mc.arch == "ddpm_unet":
+        from diffusionmodel_tpu.models.annotated_ddpm.unet import (
+            DdpmUNetAdapter,
+        )
+
+        return DdpmUNetAdapter(
+            image_channels=mc.in_ch,
+            n_channels=mc.n_feat,
+            ch_mults=tuple(mc.ch_mults),
+            is_attn=tuple(mc.is_attn),
+            n_blocks=mc.n_blocks,
+            dropout=mc.dropout,
+        )
     if mc.arch == "cbam_unet":
         from diffusionmodel_tpu.nn.cbam_unet import CbamContextUnet
 

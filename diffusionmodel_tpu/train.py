@@ -70,9 +70,12 @@ def create_train_state(model, cfg: Config, key, steps_per_epoch: int,
         }
     # jit the init: one compiled program instead of per-param dispatches —
     # essential on remote/tunneled TPU backends where eager dispatch of a
-    # 353M-param init costs minutes.
+    # 353M-param init costs minutes. A "dropout" stream is supplied for
+    # models that use nn.Dropout in train mode (ddpm_unet family).
+    pkey, dkey = jax.random.split(key)
     variables = jax.jit(model.init, static_argnames=("train",))(
-        key, sample_batch["x"], sample_batch["c"],
+        {"params": pkey, "dropout": dkey},
+        sample_batch["x"], sample_batch["c"],
         jnp.full((sample_batch["x"].shape[0],), 0.5),
         jnp.ones((sample_batch["x"].shape[0],)),
         attn_mask=sample_batch.get("mask"), train=True,
@@ -92,17 +95,18 @@ def create_train_state(model, cfg: Config, key, steps_per_epoch: int,
 def _make_loss_fn(model, sched: Schedule, cfg: Config, has_bn: bool):
     dc = cfg.diffusion
 
-    def net(params, batch_stats, x_t, cc, t, ctx, attn):
+    def net(params, batch_stats, x_t, cc, t, ctx, attn, dkey):
         variables = {"params": params}
+        rngs = {"dropout": dkey}  # unused streams are ignored by flax
         if has_bn:
             variables["batch_stats"] = batch_stats
             out, upd = model.apply(
                 variables, x_t, cc, t, ctx, attn_mask=attn, train=True,
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], rngs=rngs,
             )
             return out, upd["batch_stats"]
         return model.apply(variables, x_t, cc, t, ctx, attn_mask=attn,
-                           train=True), batch_stats
+                           train=True, rngs=rngs), batch_stats
 
     if cfg.train.remat:
         # rematerialize the denoiser in the backward pass: trades ~1/3 more
@@ -111,13 +115,15 @@ def _make_loss_fn(model, sched: Schedule, cfg: Config, has_bn: bool):
 
     def loss_fn(params, batch_stats, key, x, c, mask):
         cell = {}
+        lkey, dkey = jax.random.split(key)
 
         def apply_fn(x_t, cc, t, ctx, attn, train):
-            out, new_bs = net(params, batch_stats, x_t, cc, t, ctx, attn)
+            out, new_bs = net(params, batch_stats, x_t, cc, t, ctx, attn,
+                              dkey)
             cell["bs"] = new_bs
             return out
 
-        loss = train_loss(apply_fn, key, x, c, mask, sched, dc, train=True)
+        loss = train_loss(apply_fn, lkey, x, c, mask, sched, dc, train=True)
         return loss, cell.get("bs", batch_stats)
 
     return loss_fn

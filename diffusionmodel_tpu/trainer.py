@@ -70,6 +70,51 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
     mc = cfg.model
     shape = (mc.img_size, mc.img_size, mc.in_ch)
 
+    if dc.schedule_family == "textbook":
+        # annotated-DDPM family: unconditional textbook ancestral sampling
+        # (reference/ddpm/__init__.py:230-255); guide_w/classes are ignored.
+        from diffusionmodel_tpu.models.annotated_ddpm.diffusion import (
+            DenoiseDiffusion,
+        )
+
+        def _apply_tb(params, batch_stats):
+            def eps_fn(xx, tt):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = batch_stats
+                nb = xx.shape[0]
+                return model.apply(variables, xx,
+                                   jnp.zeros((nb,), jnp.int32),
+                                   tt.astype(jnp.float32),
+                                   jnp.zeros((nb,), jnp.float32),
+                                   attn_mask=None, train=False)
+
+            return eps_fn
+
+        @jax.jit
+        def jchunk_tb(params, batch_stats, x, key, steps):
+            dd = DenoiseDiffusion(_apply_tb(params, batch_stats), dc.n_T,
+                                  dc.beta1, dc.beta2)
+            return dd.sample(key, n_sample, shape, steps=steps, x_init=x)
+
+        def sfn(params, batch_stats, key, guide_w):
+            import numpy as np
+
+            key, xkey = jax.random.split(key)
+            x = jax.random.normal(xkey, (n_sample,) + shape, jnp.float32)
+            all_steps = np.arange(dc.n_T - 1, -1, -1, dtype=np.int32)
+            ch = min(chunk, dc.n_T)
+            pad = (-len(all_steps)) % ch
+            if pad:  # t = -1 chunk padding is a gated no-op in the scan body
+                all_steps = np.concatenate([all_steps,
+                                            -np.ones(pad, np.int32)])
+            for s in all_steps.reshape(-1, ch):
+                key, sub = jax.random.split(key)
+                x = jchunk_tb(params, batch_stats, x, sub, jnp.asarray(s))
+            return x
+
+        return sfn
+
     def _apply(params, batch_stats):
         def apply_fn(x, c, t, ctx, attn, train):
             variables = {"params": params}
@@ -151,7 +196,14 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
 
     mesh = make_mesh(tc.mesh_data, tc.mesh_model)
     model = build_model(mc, dc.high_thresh)
-    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+    if dc.schedule_family == "textbook":
+        from diffusionmodel_tpu.models.annotated_ddpm.diffusion import (
+            textbook_schedule,
+        )
+
+        sched = textbook_schedule(dc.n_T, dc.beta1, dc.beta2)
+    else:
+        sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
     steps_per_epoch = max(1, len(train_loader))
 
     key = jax.random.PRNGKey(tc.seed)

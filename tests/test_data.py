@@ -189,3 +189,37 @@ def test_real_datasetninja_if_present():
     assert len(samples) > 700  # 804 train images
     names = {o.name for s in samples[:50] for o in s.objects}
     assert names  # class titles present
+
+
+def test_image_folder_dataset(tmp_path):
+    from PIL import Image
+
+    from diffusionmodel_tpu.data import ImageFolderDataset
+
+    # class-per-subdir layout
+    for cls in ("crackA", "crackB"):
+        d = tmp_path / "byclass" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = (np.random.RandomState(i).rand(20, 24, 3) * 255
+                   ).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"img{i}.png")
+    ds = ImageFolderDataset(str(tmp_path / "byclass"), img_size=16)
+    assert ds.classes == ["crackA", "crackB"]
+    assert len(ds) == 6 and (ds.labels == [0, 0, 0, 1, 1, 1]).all()
+    x, c, m = ds.load(0)
+    assert x.shape == (16, 16, 3) and m.shape == (16, 16)
+    assert 0.0 <= x.min() and x.max() <= 1.0  # ToTensor [0,1] semantics
+    # flat layout -> one class; normalize flag -> [-1,1]
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(flat / "a.jpg")
+    ds2 = ImageFolderDataset(str(flat), img_size=8, normalize=True)
+    assert len(ds2.classes) == 1 and len(ds2) == 1
+    x2, _, _ = ds2.load(0)
+    np.testing.assert_allclose(x2, -1.0)  # black pixel -> (0-0.5)/0.5
+    # grayscale channel handling
+    ds3 = ImageFolderDataset(str(flat), img_size=8, channels=1)
+    assert ds3.load(0)[0].shape == (8, 8, 1)
+    with pytest.raises(FileNotFoundError):
+        ImageFolderDataset(str(tmp_path / "empty_nonexistent"))
