@@ -221,19 +221,23 @@ def sample_cfg_chunked(
     dc: DiffusionConfig,
     guide_w,
     chunk: int = 100,
+    x_sharding=None,
 ):
     """Host-chunked ancestral sampling for environments that cap single
     XLA-program execution time (this dev tunnel kills programs running
     >~4 min; 700 full-model steps take ~4 min at 256px). One compile of
     ``jit_chunk_fn(params, x, key, steps_slice, guide_w)`` serves every
     chunk; the carry stays on-device between calls, so overhead is one
-    dispatch per ``chunk`` steps.
+    dispatch per ``chunk`` steps. ``x_sharding`` lays the carried batch out
+    over a device mesh (multi-chip sampling fan-out).
     """
     import numpy as np
 
     h, w_, ch = img_shape
     key, xkey = jax.random.split(key)
     x = jax.random.normal(xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
+    if x_sharding is not None:
+        x = jax.device_put(x, x_sharding)
     all_steps = np.arange(dc.n_T, 0, -1, dtype=np.int32)
     pad = (-len(all_steps)) % chunk
     if pad:

@@ -59,16 +59,38 @@ def _sanitize(obj):
 
 
 def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
-                 n_sample: int, classes=None, chunk: int = 50):
+                 n_sample: int, classes=None, chunk: int = 50, mesh=None):
     """Sampler: (params, batch_stats, key, guide_w) -> images. guide_w is
     traced, so one compile covers every guidance scale. The ancestral path
     is chunk-driven (this environment kills XLA programs running >~4 min;
-    700 full-model steps exceed it); DDIM jits whole."""
+    700 full-model steps exceed it); DDIM jits whole.
+
+    ``mesh``: shard the sample batch over the mesh's 'data' axis so
+    generation fans out across chips (the BASELINE images/min north star —
+    each chip denoises its slice of the batch). The global PRNG is
+    partitionable (mesh-invariant bits); outputs match the single-device
+    run to ~1e-5 (conv reduction order differs under GSPMD partitioning).
+    Falls back to replication when n_sample does not divide evenly."""
     from diffusionmodel_tpu.diffusion import sample_cfg_chunked
 
     dc = cfg.diffusion
     mc = cfg.model
     shape = (mc.img_size, mc.img_size, mc.in_ch)
+
+    rep = xshard = None
+    if mesh is not None:
+        rep = replicated(mesh)
+        xshard = (batch_sharding(mesh, 4, 0)
+                  if n_sample % mesh.shape["data"] == 0 else rep)
+
+    def _jit_sampler(fn, in_s):
+        """jit with batch-sharded output; ``in_s`` gives the sharding of
+        each arg after (params, batch_stats), whose shardings are inferred
+        from the actual arguments (they may arrive TP-sharded)."""
+        if mesh is None:
+            return jax.jit(fn)
+        return jax.jit(fn, in_shardings=(None, None) + in_s,
+                       out_shardings=xshard)
 
     if dc.schedule_family == "textbook":
         # annotated-DDPM family: unconditional textbook ancestral sampling
@@ -91,17 +113,20 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
 
             return eps_fn
 
-        @jax.jit
         def jchunk_tb(params, batch_stats, x, key, steps):
             dd = DenoiseDiffusion(_apply_tb(params, batch_stats), dc.n_T,
                                   dc.beta1, dc.beta2)
             return dd.sample(key, n_sample, shape, steps=steps, x_init=x)
+
+        jchunk_tb = _jit_sampler(jchunk_tb, (xshard, rep, rep))
 
         def sfn(params, batch_stats, key, guide_w):
             import numpy as np
 
             key, xkey = jax.random.split(key)
             x = jax.random.normal(xkey, (n_sample,) + shape, jnp.float32)
+            if xshard is not None:
+                x = jax.device_put(x, xshard)
             all_steps = np.arange(dc.n_T - 1, -1, -1, dtype=np.int32)
             ch = min(chunk, dc.n_T)
             pad = (-len(all_steps)) % ch
@@ -126,7 +151,6 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
         return apply_fn
 
     if cfg.sample.sampler == "ddim":
-        @jax.jit
         def sfn(params, batch_stats, key, guide_w):
             return sample_cfg_ddim(
                 _apply(params, batch_stats), key, n_sample, shape,
@@ -134,19 +158,20 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
                 n_steps=cfg.sample.ddim_steps, eta=cfg.sample.ddim_eta,
                 classes=classes, discretize=cfg.sample.ddim_discretize)
 
-        return sfn
+        return _jit_sampler(sfn, (rep, rep))
 
-    @jax.jit
     def jchunk(params, batch_stats, x, key, steps, guide_w):
         return sample_cfg(_apply(params, batch_stats), key, n_sample, shape,
                           mc.n_classes, sched, dc, guide_w=guide_w,
                           classes=classes, steps=steps, x_init=x)
 
+    jchunk = _jit_sampler(jchunk, (xshard, rep, rep, rep))
+
     def sfn(params, batch_stats, key, guide_w):
         return sample_cfg_chunked(
             lambda p, x, k, s, w: jchunk(p, batch_stats, x, k, s, w),
             params, key, n_sample, shape, dc, guide_w,
-            chunk=min(chunk, dc.n_T))
+            chunk=min(chunk, dc.n_T), x_sharding=xshard)
 
     return sfn
 
@@ -274,7 +299,7 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     if eval_samples:
         classes = jnp.asarray([c for _, c in eval_samples], jnp.int32)
         sampler = make_sampler(model, cfg, sched, has_bn, len(eval_samples),
-                               classes=classes)
+                               classes=classes, mesh=mesh)
     img_metrics = metrics_impl if metrics_impl is not None else ImageMetrics()
 
     early_stop = EarlyStop(tc.patience, tc.min_delta, verbose=verbose)

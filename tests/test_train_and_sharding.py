@@ -191,3 +191,91 @@ def test_spatial_sharding_pools():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(xw), np.asarray(jnp.mean(x, axis=1)),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---- mesh-sharded sampling fan-out (VERDICT r1 item 2) --------------------
+
+
+def _tiny_sampler_setup(sampler_kind="ancestral", n_sample=8):
+    from diffusionmodel_tpu.trainer import make_sampler
+
+    cfg = preset("full", **{
+        "model.n_feat": 16, "model.img_size": 32, "model.n_classes": 4,
+        "diffusion.n_T": 12,
+        "sample.sampler": sampler_kind, "sample.ddim_steps": 4,
+    })
+    model = build_model(cfg.model, cfg.diffusion.high_thresh)
+    sched = Schedule.create(cfg.diffusion.beta1, cfg.diffusion.beta2,
+                            cfg.diffusion.n_T)
+    x = jnp.zeros((2, 32, 32, 3))
+    c = jnp.zeros((2,), jnp.int32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, c, jnp.full((2,), 0.5), jnp.ones((2,)),
+        attn_mask=None, train=False)
+    return cfg, model, sched, variables["params"], n_sample
+
+
+@pytest.mark.parametrize("sampler_kind", ["ancestral", "ddim"])
+def test_sharded_sampler_matches_single_device(sampler_kind):
+    """The mesh-sharded sampler must agree with the unsharded run to fp32
+    tolerance (partitionable threefry makes the PRNG bits mesh-invariant;
+    conv reduction order under GSPMD costs ~1 ulp/step) while actually
+    laying the batch out over all 8 devices."""
+    from diffusionmodel_tpu.trainer import make_sampler
+
+    cfg, model, sched, params, n = _tiny_sampler_setup(sampler_kind)
+    mesh = make_mesh(data=8, model=1)
+    key = jax.random.PRNGKey(42)
+    w = jnp.float32(2.0)
+
+    single = make_sampler(model, cfg, sched, False, n, chunk=5)
+    sharded = make_sampler(model, cfg, sched, False, n, chunk=5, mesh=mesh)
+    out_1 = np.asarray(single(params, {}, key, w))
+    out_8j = sharded(params, {}, key, w)
+    # the batch is genuinely distributed over the data axis
+    assert len(out_8j.sharding.device_set) == 8, out_8j.sharding
+    np.testing.assert_allclose(out_1, np.asarray(out_8j), rtol=2e-4,
+                               atol=1e-5)
+    # determinism: same key twice -> bit-identical (same compiled program)
+    np.testing.assert_array_equal(np.asarray(out_8j),
+                                  np.asarray(sharded(params, {}, key, w)))
+
+
+def test_sharded_sampler_uneven_batch_falls_back_to_replication():
+    from diffusionmodel_tpu.trainer import make_sampler
+
+    cfg, model, sched, params, _ = _tiny_sampler_setup(n_sample=6)
+    mesh = make_mesh(data=8, model=1)
+    sharded = make_sampler(model, cfg, sched, False, 6, chunk=5, mesh=mesh)
+    out = sharded(params, {}, jax.random.PRNGKey(0), jnp.float32(1.0))
+    assert out.shape == (6, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_textbook_sampler():
+    from diffusionmodel_tpu.trainer import make_sampler
+
+    cfg = preset("labml", **{
+        "model.n_feat": 16, "model.img_size": 16, "model.n_blocks": 1,
+        "model.ch_mults": (1, 2), "model.is_attn": (False, False),
+        "diffusion.n_T": 10,
+    })
+    model = build_model(cfg.model)
+    from diffusionmodel_tpu.models.annotated_ddpm.diffusion import (
+        textbook_schedule,
+    )
+
+    sched = textbook_schedule(10)
+    x = jnp.zeros((2, 16, 16, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, jnp.zeros((2,), jnp.int32), jnp.zeros((2,)), jnp.zeros((2,)),
+        attn_mask=None, train=False)
+    mesh = make_mesh(data=8, model=1)
+    single = make_sampler(model, cfg, sched, False, 8, chunk=4)
+    sharded = make_sampler(model, cfg, sched, False, 8, chunk=4, mesh=mesh)
+    key = jax.random.PRNGKey(5)
+    out_1 = np.asarray(single(variables["params"], {}, key, jnp.float32(0.0)))
+    out_8 = sharded(variables["params"], {}, key, jnp.float32(0.0))
+    assert len(out_8.sharding.device_set) == 8
+    np.testing.assert_allclose(out_1, np.asarray(out_8), rtol=2e-4, atol=1e-5)
