@@ -120,6 +120,9 @@ class TrainConfig:
     # widest conv/linear kernels across chips.
     mesh_data: int = -1  # -1 => all available devices
     mesh_model: int = 1
+    # Spatial (H-axis) sharding of big-image forwards — the context-parallel
+    # analogue (SURVEY 5.7); >1 makes sampling shard H across chips.
+    mesh_spatial: int = 1
     # Data augmentation parity flags.
     hflip_prob: float = 0.5   # new_scripy.py:685
     co_flip_mask: bool = False  # Q5: reference does NOT flip the mask

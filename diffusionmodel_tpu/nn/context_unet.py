@@ -39,6 +39,7 @@ from diffusionmodel_tpu.nn.blocks import (
     gn_groups,
 )
 from diffusionmodel_tpu.nn.coord_attn import CoordAttn
+from diffusionmodel_tpu.parallel.spatial import constrain_spatial
 from diffusionmodel_tpu.nn.init import make_bias_init, torch_conv_kernel_init
 
 
@@ -56,6 +57,12 @@ class ContextUnet(nn.Module):
     mnist_style_ctx_flip: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # >0: insert spatial (H-axis) sharding constraints for big-image mesh
+    # forwards — H stays split over the 'spatial' mesh axis on large maps
+    # and is gathered on small ones (see parallel.spatial.constrain_spatial;
+    # sub-kernel halo shards are numerically unsafe in XLA). Requires
+    # tracing under a ('data','model','spatial') mesh context.
+    spatial_shards: int = 0
 
     @nn.compact
     def __call__(self, x, c, t, ctx_mask, attn_mask: Optional[jnp.ndarray] = None,
@@ -77,6 +84,7 @@ class ContextUnet(nn.Module):
                           norm=self.norm, attn_reduction=self.attn_reduction,
                           dtype=self.dtype, use_pallas=self.use_pallas,
                           name="init_conv")(x, train)
+        x0 = constrain_spatial(x0, self.spatial_shards)
 
         downs = []
         h = x0
@@ -91,6 +99,7 @@ class ContextUnet(nn.Module):
                 h = CoordAttn(co, self.attn_reduction, norm=self.norm,
                               dtype=self.dtype, use_pallas=self.use_pallas,
                               name=f"ca{i+1}")(h, train)
+            h = constrain_spatial(h, self.spatial_shards)
             downs.append(h)
         down1, down2, down3, down4 = downs
 
@@ -131,15 +140,20 @@ class ContextUnet(nn.Module):
         up1 = nn.GroupNorm(num_groups=gn_groups(8 * nf, 8), epsilon=1e-5,
                            dtype=self.dtype, name="up0_gn")(up1)
         up1 = nn.relu(up1)
+        up1 = constrain_spatial(up1, self.spatial_shards)
 
         up2 = UnetUp(16 * nf, 4 * nf, norm=self.norm, dtype=self.dtype,
                      name="up1")(cemb1 * up1 + temb1, down4, train)
+        up2 = constrain_spatial(up2, self.spatial_shards)
         up3 = UnetUp(8 * nf, 2 * nf, norm=self.norm, dtype=self.dtype,
                      name="up2")(cemb2 * up2 + temb2, down3, train)
+        up3 = constrain_spatial(up3, self.spatial_shards)
         up4 = UnetUp(4 * nf, nf, norm=self.norm, dtype=self.dtype,
                      name="up3")(up3, down2, train)
+        up4 = constrain_spatial(up4, self.spatial_shards)
         up5 = UnetUp(2 * nf, nf, norm=self.norm, dtype=self.dtype,
                      name="up4")(up4, down1, train)
+        up5 = constrain_spatial(up5, self.spatial_shards)
 
         if self.use_local_enhancer:
             up5 = LocalEnhancer(nf, self.high_thresh, dtype=self.dtype,

@@ -9,7 +9,11 @@ from diffusionmodel_tpu.nn.context_unet import ContextUnet
 from diffusionmodel_tpu.nn.mnist_unet import MnistContextUnet
 
 
-def build_model(mc: ModelConfig, high_thresh: float = 1.2):
+def build_model(mc: ModelConfig, high_thresh: float = 1.2,
+                spatial_shards: int = 0):
+    """``spatial_shards`` > 0 inserts H-axis sharding constraints for
+    spatially-sharded mesh forwards (ContextUnet family only; see
+    parallel.spatial.constrain_spatial)."""
     dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
     if mc.arch in ("context_unet_v2", "context_unet_v1"):
         return ContextUnet(
@@ -27,6 +31,7 @@ def build_model(mc: ModelConfig, high_thresh: float = 1.2):
             mnist_style_ctx_flip=mc.mnist_style_ctx_flip,
             dtype=dtype,
             use_pallas=mc.use_pallas,
+            spatial_shards=spatial_shards,
         )
     if mc.arch == "mnist_unet":
         return MnistContextUnet(

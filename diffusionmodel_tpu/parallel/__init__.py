@@ -1,5 +1,6 @@
 from diffusionmodel_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    image_sharding,
     make_mesh,
     param_shardings,
     replicated,

@@ -24,16 +24,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int = -1, model: int = 1,
+def make_mesh(data: int = -1, model: int = 1, spatial: int = 1,
               devices: Optional[list] = None) -> Mesh:
+    """3-axis mesh ('data', 'model', 'spatial'). The 'spatial' axis shards
+    the H dimension of large feature maps (the context-parallel analogue,
+    SURVEY 5.7): GSPMD spatially partitions the convolutions with halo
+    exchanges and psums the global pooled statistics — semantics validated
+    against the explicit shard_map helpers in ``parallel.spatial``."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
-    dev = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(dev, ("data", "model"))
+        assert n % (model * spatial) == 0, (
+            f"{n} devices not divisible by model*spatial={model * spatial}")
+        data = n // (model * spatial)
+    assert data * model * spatial <= n, (
+        f"mesh {data}x{model}x{spatial} needs more than {n} devices")
+    dev = np.asarray(devices[: data * model * spatial]).reshape(
+        data, model, spatial)
+    return Mesh(dev, ("data", "model", "spatial"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -44,6 +52,17 @@ def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
     """Shard axis ``batch_axis`` over 'data', replicate the rest."""
     spec = [None] * ndim
     spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def image_sharding(mesh: Mesh, ndim: int = 4, batch_axis: int = 0,
+                   h_axis: int = 1) -> NamedSharding:
+    """Shard an NHWC image batch over 'data' (batch) AND 'spatial' (H) —
+    the big-image forward layout: each chip holds an H-slab, XLA inserts
+    conv halo exchanges and pooled-statistic psums over ICI."""
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    spec[h_axis] = "spatial"
     return NamedSharding(mesh, P(*spec))
 
 

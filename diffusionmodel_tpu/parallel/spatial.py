@@ -14,6 +14,16 @@ SEBlock/CoordAttn need with ``psum`` collectives over ICI, via
 - ``sharded_directional_pools``: CoordAttn's (H,1)/(1,W) pools with H
   sharded — the W-pool needs a psum over the H shards; the H-pool is
   purely local and stays sharded.
+
+Role in the framework: the PRODUCTION path for spatially-sharded forwards
+is GSPMD — ``parallel.mesh.image_sharding`` lays an NHWC batch out with H
+over the 'spatial' mesh axis and XLA inserts the conv halo exchanges and
+pooled-statistic psums automatically (wired into ``trainer.make_sampler``
+via ``TrainConfig.mesh_spatial``). These shard_map helpers are the
+EXECUTABLE SPEC of those collective semantics: tests assert the GSPMD
+forward matches both the unsharded forward and these explicit-psum
+formulations, and they remain the building blocks for custom Pallas
+kernels that need explicit collectives.
 """
 
 from __future__ import annotations
@@ -80,3 +90,22 @@ def sharded_directional_pools(mesh: Mesh, x, axis_name: str = "data"):
         return x_h, x_w
 
     return f(x)
+
+
+def constrain_spatial(x, spatial_shards: int, min_rows: int = 8):
+    """Sharding constraint for NHWC activations inside a spatially-sharded
+    forward: keep H split over the 'spatial' mesh axis while every shard
+    holds >= ``min_rows`` rows; GATHER H (replicate over 'spatial') below
+    that. Small maps are cheap to replicate, and XLA's conv halo exchange
+    with sub-kernel shards (e.g. 1 row/chip under a 4x4 kernel) is both
+    slow and NUMERICALLY WRONG (observed max|d|~1.9 on XLA:CPU; verified
+    by tests/test_train_and_sharding.py). No-op when spatial_shards <= 1.
+
+    Must be traced under a mesh context (``with mesh:``) whose axes include
+    'data'/'spatial' — true for trainer.fit and make_sampler paths.
+    """
+    if spatial_shards <= 1:
+        return x
+    h = x.shape[1]
+    spatial = "spatial" if h // spatial_shards >= min_rows else None
+    return jax.lax.with_sharding_constraint(x, P("data", spatial))

@@ -79,9 +79,17 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
 
     rep = xshard = None
     if mesh is not None:
+        from diffusionmodel_tpu.parallel import image_sharding
+
         rep = replicated(mesh)
-        xshard = (batch_sharding(mesh, 4, 0)
-                  if n_sample % mesh.shape["data"] == 0 else rep)
+        n_sp = dict(mesh.shape).get("spatial", 1)
+        if n_sample % mesh.shape["data"] != 0:
+            xshard = rep
+        elif n_sp > 1 and mc.img_size % n_sp == 0:
+            # big-image layout: batch over 'data' AND H over 'spatial'
+            xshard = image_sharding(mesh, 4)
+        else:
+            xshard = batch_sharding(mesh, 4, 0)
 
     def _jit_sampler(fn, in_s):
         """jit with batch-sharded output; ``in_s`` gives the sharding of
@@ -219,8 +227,8 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     val_loader = BatchLoader(dataset, val_idx, tc.batch_size, 1, shuffle=False,
                              augment=False)
 
-    mesh = make_mesh(tc.mesh_data, tc.mesh_model)
-    model = build_model(mc, dc.high_thresh)
+    mesh = make_mesh(tc.mesh_data, tc.mesh_model, tc.mesh_spatial)
+    model = build_model(mc, dc.high_thresh, spatial_shards=tc.mesh_spatial)
     if dc.schedule_family == "textbook":
         from diffusionmodel_tpu.models.annotated_ddpm.diffusion import (
             textbook_schedule,

@@ -279,3 +279,74 @@ def test_sharded_textbook_sampler():
     out_8 = sharded(variables["params"], {}, key, jnp.float32(0.0))
     assert len(out_8.sharding.device_set) == 8
     np.testing.assert_allclose(out_1, np.asarray(out_8), rtol=2e-4, atol=1e-5)
+
+
+def test_gspmd_spatial_forward_matches_unsharded():
+    """H-axis (spatial/context-parallel) sharding of a big-image forward:
+    GSPMD partitions the convs with halo exchange and psums the SE/CoordAttn
+    pooled stats — the result must match the unsharded forward. The model's
+    constrain_spatial hooks gather H on small maps, where XLA's sub-kernel
+    halo exchange is numerically wrong (repro below)."""
+    from diffusionmodel_tpu.parallel import image_sharding
+
+    cfg = preset("full", **{"model.n_feat": 16, "model.img_size": 32})
+    model = build_model(cfg.model, cfg.diffusion.high_thresh,
+                        spatial_shards=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    c = jnp.zeros((2,), jnp.int32)
+    t = jnp.full((2,), 0.5)
+    ctx = jnp.ones((2,))
+    mesh = make_mesh(data=2, model=1, spatial=4)
+    with mesh:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(1), x, c, t, ctx, attn_mask=None, train=False)
+
+        def fwd(v, x):
+            return model.apply(v, x, c, t, ctx, attn_mask=None, train=False)
+
+        ref = np.asarray(jax.jit(fwd)(variables, x))
+        xsh = image_sharding(mesh, 4)  # batch over 'data', H over 'spatial'
+        out = jax.jit(fwd, in_shardings=(None, xsh), out_shardings=xsh)(
+            variables, jax.device_put(x, xsh))
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(ref, np.asarray(out), rtol=2e-4, atol=1e-5)
+
+
+def test_gspmd_subkernel_halo_is_wrong_without_constraint():
+    """Documents WHY constrain_spatial gathers small maps: a 4x4 stride-2
+    conv over H=4 split into 1-row shards returns wrong values from XLA's
+    halo exchange. If this ever starts passing, the workaround (and its
+    min_rows threshold) can be revisited."""
+    import flax.linen as nn
+    from diffusionmodel_tpu.parallel import image_sharding
+
+    mesh = make_mesh(data=2, model=1, spatial=4)
+    sh = image_sharding(mesh, 4)
+    x4 = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 8))
+    conv = nn.Conv(8, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))
+    cv = conv.init(jax.random.PRNGKey(3), x4)
+    f = lambda x: conv.apply(cv, x)  # noqa: E731
+    ref = np.asarray(jax.jit(f)(x4))
+    out = np.asarray(jax.jit(f, in_shardings=(sh,))(jax.device_put(x4, sh)))
+    assert np.max(np.abs(ref - out)) > 1e-2  # the XLA bug this guards
+
+
+def test_spatial_mesh_sampler_matches_single_device():
+    from diffusionmodel_tpu.trainer import make_sampler
+
+    cfg, model, sched, params, n = _tiny_sampler_setup("ddim", n_sample=4)
+    # same arch/params, with spatial constraint hooks enabled (param
+    # structure is identical — constraints are not parameterized)
+    sp_model = build_model(cfg.model, cfg.diffusion.high_thresh,
+                           spatial_shards=4)
+    mesh = make_mesh(data=2, model=1, spatial=4)
+    key = jax.random.PRNGKey(9)
+    w = jnp.float32(2.0)
+    single = make_sampler(model, cfg, sched, False, n)
+    spatial = make_sampler(sp_model, cfg, sched, False, n, mesh=mesh)
+    out_1 = np.asarray(single(params, {}, key, w))
+    with mesh:
+        out_sp = spatial(params, {}, key, w)
+    assert len(out_sp.sharding.device_set) == 8
+    np.testing.assert_allclose(out_1, np.asarray(out_sp), rtol=2e-4,
+                               atol=1e-5)
