@@ -73,7 +73,8 @@ class CrackDataset:
     def __init__(self, root_dir: str, img_size: int = 256,
                  mask_values: Tuple[float, float, float] = (0.5, 1.0, 3.0),
                  hflip_prob: float = 0.0, co_flip_mask: bool = False,
-                 normalize: bool = True, seed: int = 0):
+                 normalize: bool = True, seed: int = 0,
+                 cache_images: bool = True):
         self.root_dir = root_dir
         self.img_size = img_size
         self.mask_values = mask_values
@@ -81,6 +82,13 @@ class CrackDataset:
         self.co_flip_mask = co_flip_mask
         self.normalize = normalize
         self._rng = np.random.RandomState(seed)
+        # Decode+resize once, keep uint8 [S,S,3] + parsed bbox (the TPU
+        # host here has 1 CPU core — per-epoch JPEG re-decode measured 12x
+        # slower than the train step itself; the reference leans on
+        # DataLoader(num_workers=5) instead, new_scripy.py:641-655).
+        # ~0.2 MB/image at 256px; disable for huge datasets.
+        self.cache_images = cache_images
+        self._cache: dict = {}
 
         img_root = os.path.join(root_dir, "images")
         self.classes = sorted(
@@ -113,13 +121,20 @@ class CrackDataset:
              ) -> Tuple[np.ndarray, int, np.ndarray]:
         """Returns (image [S,S,3] float32 in [-1,1], label, mask [S,S])."""
         img_path, xml_path, label = self.samples[idx]
-        img = Image.open(img_path).convert("RGB")
-        img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
-        bbox, orig_wh = parse_voc_bbox(xml_path)
+        hit = self._cache.get(idx) if self.cache_images else None
+        if hit is not None:
+            u8, bbox, orig_wh = hit
+        else:
+            img = Image.open(img_path).convert("RGB")
+            img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
+            u8 = np.asarray(img, dtype=np.uint8)
+            bbox, orig_wh = parse_voc_bbox(xml_path)
+            if self.cache_images:
+                self._cache[idx] = (u8, bbox, orig_wh)
         low, mid, high = self.mask_values
         mask = build_attn_mask(self.img_size, bbox, orig_wh, low, mid, high)
 
-        arr = np.asarray(img, dtype=np.float32) / 255.0
+        arr = u8.astype(np.float32) / 255.0
         if augment and self.hflip_prob > 0 and self._rng.rand() < self.hflip_prob:
             arr = arr[:, ::-1, :].copy()
             if self.co_flip_mask:

@@ -32,7 +32,7 @@ def _list_images(d: str) -> List[str]:
 class ImageFolderDataset:
     def __init__(self, root: str, img_size: int = 64, channels: int = 3,
                  normalize: bool = False, hflip_prob: float = 0.0,
-                 seed: int = 0):
+                 seed: int = 0, cache_images: bool = True):
         """``normalize=False`` keeps [0,1] (labml ToTensor semantics);
         True applies the main family's (x-0.5)/0.5 -> [-1,1]."""
         self.root = root
@@ -41,6 +41,9 @@ class ImageFolderDataset:
         self.normalize = normalize
         self.hflip_prob = hflip_prob
         self._rng = np.random.RandomState(seed)
+        # uint8 decode cache — see CrackDataset.cache_images (1-core host).
+        self.cache_images = cache_images
+        self._cache: dict = {}
 
         subdirs = sorted(
             d for d in os.listdir(root)
@@ -67,12 +70,17 @@ class ImageFolderDataset:
 
     def load(self, idx: int, augment: bool = False
              ) -> Tuple[np.ndarray, int, np.ndarray]:
-        from PIL import Image
+        u8 = self._cache.get(idx) if self.cache_images else None
+        if u8 is None:
+            from PIL import Image
 
-        img = Image.open(self.files[idx])
-        img = img.convert("RGB" if self.channels == 3 else "L")
-        img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
-        x = np.asarray(img, np.float32) / 255.0
+            img = Image.open(self.files[idx])
+            img = img.convert("RGB" if self.channels == 3 else "L")
+            img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
+            u8 = np.asarray(img, np.uint8)
+            if self.cache_images:
+                self._cache[idx] = u8
+        x = u8.astype(np.float32) / 255.0
         if x.ndim == 2:
             x = x[..., None]
         if augment and self.hflip_prob > 0 \
