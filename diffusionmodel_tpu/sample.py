@@ -75,8 +75,14 @@ def gen_samples(cfg: Config, ckpt_path: str,
     # classes cyclically (arange(n_classes) tiled, new_scripy.py:447-448)
     # while the filenames assume block order (new_scripy.py:1051-1061).
     gen_classes = jnp.asarray(np.repeat(np.arange(n_classes), n_per), jnp.int32)
+    # Generation fans out over all local devices (the BASELINE images/min
+    # north star): batch sharded on the mesh's 'data' axis, per-chip PRNG
+    # handled inside make_sampler. On a 1-chip host this is a 1x1x1 mesh.
+    from diffusionmodel_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
     sampler = make_sampler(model, cfg, sched, bool(batch_stats), n_sample,
-                           classes=gen_classes)
+                           classes=gen_classes, mesh=mesh)
 
     out_dir = os.path.join(sc.sample_dir, f"samples_{int(time.time())}")
     os.makedirs(out_dir, exist_ok=True)
@@ -101,7 +107,9 @@ def gen_samples(cfg: Config, ckpt_path: str,
             print(f"Generating samples with guidance scale {w}")
         key, sub = jax.random.split(key)
         t0 = time.time()
-        x_gen = np.asarray(sampler(params, batch_stats, sub, jnp.float32(w)))
+        with mesh:
+            x_gen = np.asarray(sampler(params, batch_stats, sub,
+                                       jnp.float32(w)))
         dt = time.time() - t0
         grid_path = os.path.join(out_dir, f"samples_g{w}.png")
         save_samples(x_gen, grid_path, nrow=n_per, denorm=sc.denorm)
