@@ -143,6 +143,32 @@ class CrackDataset:
             arr = (arr - 0.5) / 0.5
         return arr, label, mask
 
+    def load_wire(self, idx: int, augment: bool = False
+                  ) -> Tuple[np.ndarray, int, np.ndarray]:
+        """Compact wire-format sample for tunneled/remote devices:
+        (uint8 image [S,S,3], label, uint8 mask CLASS INDEX [S,S] with
+        0=low/1=mid/2=high). Float expansion happens on-device
+        (train.decode_wire) — bit-identical to :meth:`load`."""
+        img_path, xml_path, label = self.samples[idx]
+        hit = self._cache.get(idx) if self.cache_images else None
+        if hit is not None:
+            u8, bbox, orig_wh = hit
+        else:
+            img = Image.open(img_path).convert("RGB")
+            img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
+            u8 = np.asarray(img, dtype=np.uint8)
+            bbox, orig_wh = parse_voc_bbox(xml_path)
+            if self.cache_images:
+                self._cache[idx] = (u8, bbox, orig_wh)
+        mask_idx = build_attn_mask(self.img_size, bbox, orig_wh,
+                                   0.0, 1.0, 2.0).astype(np.uint8)
+        if augment and self.hflip_prob > 0 \
+                and self._rng.rand() < self.hflip_prob:
+            u8 = u8[:, ::-1, :]
+            if self.co_flip_mask:
+                mask_idx = mask_idx[:, ::-1]
+        return u8, label, mask_idx
+
 
 def stratified_split(labels: Sequence[int], val_split: float = 0.1,
                      seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:

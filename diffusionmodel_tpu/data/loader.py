@@ -22,7 +22,7 @@ class BatchLoader:
     def __init__(self, dataset, indices: Sequence[int], batch_size: int,
                  accum_steps: int = 1, shuffle: bool = True, augment: bool = True,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
-                 drop_last: bool = False):
+                 drop_last: bool = False, wire_u8: bool = True):
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.batch_size = batch_size
@@ -33,6 +33,10 @@ class BatchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self._rng = np.random.RandomState(seed)
+        # uint8 wire format (image u8, mask class-index u8), expanded
+        # on-device by train.decode_wire — 16x fewer host->device bytes
+        # than fp32 (matters for remote/tunneled devices and DCN-fed pods).
+        self.wire_u8 = wire_u8 and hasattr(dataset, "load_wire")
 
     def __len__(self) -> int:
         per_step = self.batch_size * self.accum_steps
@@ -52,9 +56,11 @@ class BatchLoader:
             pad = per_step - len(idxs)
             idxs = np.concatenate([idxs, idxs[: pad]]) if len(idxs) >= pad else \
                 np.concatenate([idxs, np.resize(idxs, pad)])
+        load = (self.dataset.load_wire if self.wire_u8
+                else self.dataset.load)
         xs, cs, ms = [], [], []
         for i in idxs:
-            x, c, m = self.dataset.load(int(i), augment=self.augment)
+            x, c, m = load(int(i), augment=self.augment)
             xs.append(x)
             cs.append(c)
             ms.append(m)

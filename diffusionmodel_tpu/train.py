@@ -92,7 +92,31 @@ def create_train_state(model, cfg: Config, key, steps_per_epoch: int,
     return state, tx
 
 
-def _make_loss_fn(model, sched: Schedule, cfg: Config, has_bn: bool):
+def decode_wire(x, mask, dc, normalize: bool):
+    """On-device decode of the compact uint8 wire batch format.
+
+    BatchLoader ships x as uint8 RGB and mask as a uint8 class index
+    {0,1,2} — 16x fewer host->device bytes than fp32 (12.6 -> 0.8 MB per
+    flagship step), which matters when the device is remote/tunneled or
+    when many hosts feed a pod over DCN. This expands them inside the
+    jitted step — bit-identical to the host-side float path (same fp32
+    ops, /255 then (x-.5)/.5) and fused into the first conv by XLA. Float
+    batches pass through untouched (dtype is trace-time static), so tests
+    and callers that build float batches directly are unaffected. SURVEY
+    north star: "preprocessing ... run on-device"."""
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+        if normalize:
+            x = (x - 0.5) / 0.5
+    if mask is not None and mask.dtype == jnp.uint8:
+        values = jnp.asarray(
+            [dc.low_weight, dc.mid_weight, dc.high_weight], jnp.float32)
+        mask = values[mask]
+    return x, mask
+
+
+def _make_loss_fn(model, sched: Schedule, cfg: Config, has_bn: bool,
+                  normalize_u8: bool = True):
     dc = cfg.diffusion
 
     def net(params, batch_stats, x_t, cc, t, ctx, attn, dkey):
@@ -115,6 +139,7 @@ def _make_loss_fn(model, sched: Schedule, cfg: Config, has_bn: bool):
 
     def loss_fn(params, batch_stats, key, x, c, mask):
         cell = {}
+        x, mask = decode_wire(x, mask, dc, normalize_u8)
         lkey, dkey = jax.random.split(key)
 
         def apply_fn(x_t, cc, t, ctx, attn, train):
@@ -130,13 +155,15 @@ def _make_loss_fn(model, sched: Schedule, cfg: Config, has_bn: bool):
 
 
 def make_train_step(model, sched: Schedule, cfg: Config,
-                    tx: optax.GradientTransformation, has_bn: bool):
+                    tx: optax.GradientTransformation, has_bn: bool,
+                    normalize_u8: bool = True):
     """Returns step(state, batch, key) -> (state, loss).
 
-    batch: x [A, B, H, W, C]; c [A, B]; mask [A, B, H, W] or None — A =
-    accum_steps micro-batches scanned in-graph.
+    batch: x [A, B, H, W, C] (float, or uint8 wire format); c [A, B];
+    mask [A, B, H, W] or None (float weights, or uint8 class indices) —
+    A = accum_steps micro-batches scanned in-graph.
     """
-    loss_fn = _make_loss_fn(model, sched, cfg, has_bn)
+    loss_fn = _make_loss_fn(model, sched, cfg, has_bn, normalize_u8)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], key):
@@ -167,7 +194,8 @@ def make_train_step(model, sched: Schedule, cfg: Config,
     return step
 
 
-def make_eval_step(model, sched: Schedule, cfg: Config, has_bn: bool):
+def make_eval_step(model, sched: Schedule, cfg: Config, has_bn: bool,
+                   normalize_u8: bool = True):
     """Validation loss on one (non-accumulated) batch, eval-mode norm."""
     dc = cfg.diffusion
 
@@ -179,8 +207,10 @@ def make_eval_step(model, sched: Schedule, cfg: Config, has_bn: bool):
             return model.apply(variables, x_t, cc, t, ctx, attn_mask=attn,
                                train=False)
 
-        return train_loss(apply_fn, key, batch["x"], batch["c"],
-                          batch.get("mask"), sched, dc, train=False)
+        x, mask = decode_wire(batch["x"], batch.get("mask"), dc,
+                              normalize_u8)
+        return train_loss(apply_fn, key, x, batch["c"], mask, sched, dc,
+                          train=False)
 
     return step
 

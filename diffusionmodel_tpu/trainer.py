@@ -276,8 +276,10 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
         if verbose:
             print(f"Resumed from {resume} at epoch {start_epoch}")
     has_bn = bool(state.batch_stats)
-    step_fn = make_train_step(model, sched, cfg, tx, has_bn)
-    eval_fn = make_eval_step(model, sched, cfg, has_bn)
+    norm_u8 = bool(getattr(dataset, "normalize", True))
+    step_fn = make_train_step(model, sched, cfg, tx, has_bn,
+                              normalize_u8=norm_u8)
+    eval_fn = make_eval_step(model, sched, cfg, has_bn, normalize_u8=norm_u8)
 
     p_shard = param_shardings(mesh, state.params)
     state_shard = state.replace(

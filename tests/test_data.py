@@ -223,3 +223,25 @@ def test_image_folder_dataset(tmp_path):
     assert ds3.load(0)[0].shape == (8, 8, 1)
     with pytest.raises(FileNotFoundError):
         ImageFolderDataset(str(tmp_path / "empty_nonexistent"))
+
+
+def test_wire_u8_roundtrip_bit_identical(fake_root):
+    """The uint8 wire format + on-device decode_wire must be bit-identical
+    to the host float path (same fp32 ops on the same uint8 source)."""
+    import jax.numpy as jnp
+
+    from diffusionmodel_tpu.config import DiffusionConfig
+    from diffusionmodel_tpu.train import decode_wire
+
+    ds = CrackDataset(fake_root, img_size=32)
+    idx = np.arange(len(ds))
+    kw = dict(batch_size=2, accum_steps=2, num_workers=0, shuffle=False,
+              augment=False)
+    bw = next(iter(BatchLoader(ds, idx, **kw)))
+    bf = next(iter(BatchLoader(ds, idx, wire_u8=False, **kw)))
+    assert bw["x"].dtype == np.uint8 and bw["mask"].dtype == np.uint8
+    dc = DiffusionConfig()
+    x, mask = decode_wire(jnp.asarray(bw["x"]), jnp.asarray(bw["mask"]), dc,
+                          normalize=True)
+    np.testing.assert_array_equal(np.asarray(x), bf["x"])
+    np.testing.assert_array_equal(np.asarray(mask), bf["mask"])
