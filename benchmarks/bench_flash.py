@@ -53,18 +53,30 @@ def main():
         ("batch8     N=4096 d=64", 8, 4096, 8, 64),
     ]
 
-    jx = jax.jit(lambda q, k, v: jnp.mean(
-        attention_xla(q, k, v).astype(jnp.float32)))
-    jfl = jax.jit(lambda q, k, v: jnp.mean(
-        flash_attention(q, k, v).astype(jnp.float32)))
+    # 20 chained calls inside ONE program (output feeds back as q) so the
+    # ~24ms dispatch round-trip amortizes; per-call = total/20.
+    REPS = 20
+
+    def chain(attn):
+        def f(q, k, v):
+            def body(q, _):
+                return attn(q, k, v).astype(q.dtype), None
+
+            q, _ = jax.lax.scan(body, q, None, length=REPS)
+            return jnp.mean(q.astype(jnp.float32))
+
+        return jax.jit(f)
+
+    jx = chain(attention_xla)
+    jfl = chain(flash_attention)
 
     for label, b, n, h, d in sites:
         ks = jax.random.split(key, 3)
         q = jax.random.normal(ks[0], (b, n, h, d), jnp.bfloat16)
         k = jax.random.normal(ks[1], (b, n, h, d), jnp.bfloat16)
         v = jax.random.normal(ks[2], (b, n, h, d), jnp.bfloat16)
-        t_x = timeit(lambda: jx(q, k, v))
-        t_f = timeit(lambda: jfl(q, k, v))
+        t_x = timeit(lambda: jx(q, k, v)) / REPS
+        t_f = timeit(lambda: jfl(q, k, v)) / REPS
         # attention FLOPs: 2 matmuls, 2*N*N*D each, per batch*head
         flops = 2 * 2 * b * h * n * n * d
         print(json.dumps({

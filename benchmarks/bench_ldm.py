@@ -40,7 +40,7 @@ def main() -> None:
     B = 1  # per-prompt batch; CFG doubles it inside the sampler
 
     # ---- SD-v1-size modules, random weights --------------------------------
-    unet = {False: UNetModel(), True: UNetModel(use_flash=True)}
+    unet = {False: UNetModel(use_flash=False), True: UNetModel(use_flash=True)}
     z0 = jnp.zeros((B, 32, 32, 4))
     cond0 = jnp.zeros((B, 77, 768))
     t0c = jnp.zeros((B,))

@@ -42,7 +42,7 @@ class CrossAttention(nn.Module):
     d_model: int
     n_heads: int
     d_head: int
-    use_flash: bool = False
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, cond=None):
@@ -83,7 +83,7 @@ class BasicTransformerBlock(nn.Module):
     d_model: int
     n_heads: int
     d_head: int
-    use_flash: bool = False
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, cond):
@@ -103,7 +103,7 @@ class SpatialTransformer(nn.Module):
     channels: int
     n_heads: int
     n_layers: int = 1
-    use_flash: bool = False
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, cond):
@@ -157,7 +157,7 @@ class UNetModel(nn.Module):
     n_heads: int = 8
     tf_layers: int = 1
     d_cond: int = 768
-    use_flash: bool = False
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, t, cond):
