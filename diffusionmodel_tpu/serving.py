@@ -1,0 +1,220 @@
+"""TPU-native generation serving: request batching over one warm program.
+
+The reference has no serving story (it is a research script); this module
+is the deployment-side counterpart of ``sample.gen_samples`` for online
+use. TPU serving constraints drive the design:
+
+- **One compiled program, static shapes.** Requests are padded into a
+  fixed ``max_batch`` slot layout, so the sampler compiles exactly once
+  (first call) and every later request reuses the warm executable —
+  recompiles are the serving latency killer on XLA backends.
+- **Classes and guidance scale are traced arguments**, not baked
+  constants: any class mix / scale hits the same program (``guide_w`` is
+  a traced scalar, as in ``trainer.make_sampler``).
+- **A single owner thread drives the device.** Callers enqueue requests
+  and block on futures; the worker drains the queue, groups requests with
+  equal guidance scale (one scalar per batch), pads, runs, and slices the
+  results back out. This also gives cross-request batching for free —
+  the throughput lever that matters on an MXU-saturating batch.
+- **Mesh fan-out.** Pass a ``jax.sharding.Mesh`` to shard the padded
+  batch over the 'data' axis exactly like the offline samplers.
+
+Determinism: a batch shares one PRNG stream, so a request's noise depends
+on its batch slot. Requests that pin ``seed`` are run in their own batch
+(exactly reproducible: same seed + classes + scale -> same images).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionmodel_tpu.config import Config
+from diffusionmodel_tpu.diffusion import Schedule, sample_cfg, sample_cfg_ddim
+
+
+@dataclass
+class _Request:
+    classes: np.ndarray
+    guide_w: float
+    seed: Optional[int]
+    future: Future = field(default_factory=Future)
+
+
+class SamplerService:
+    """Batched generation service over a trained denoiser.
+
+    ``sampler``: "ddim" (latency-oriented, default) or "ancestral" (the
+    reference's full-T loop, chunk-driven to respect environments that cap
+    single-program runtime).
+    """
+
+    def __init__(self, model, cfg: Config, sched: Schedule, params,
+                 batch_stats=None, max_batch: int = 8,
+                 sampler: Optional[str] = None, mesh=None,
+                 chunk: int = 50, max_wait_ms: float = 20.0):
+        mc, dc, sc = cfg.model, cfg.diffusion, cfg.sample
+        self.max_batch = max_batch
+        self.mesh = mesh
+        self.max_wait_s = max_wait_ms / 1e3
+        self._params = params
+        self._batch_stats = batch_stats or {}
+        self._key = jax.random.PRNGKey(0)
+        shape = (mc.img_size, mc.img_size, mc.in_ch)
+        kind = sampler or sc.sampler
+
+        def apply_fn(x, c, t, ctx, attn, train):
+            variables = {"params": self._params}
+            if self._batch_stats:
+                variables["batch_stats"] = self._batch_stats
+            return model.apply(variables, x, c, t, ctx, attn_mask=attn,
+                               train=False)
+
+        xshard = None
+        if mesh is not None and max_batch % mesh.shape["data"] == 0:
+            from diffusionmodel_tpu.parallel import batch_sharding
+
+            xshard = batch_sharding(mesh, 4, 0)
+        self._xshard = xshard
+
+        if kind == "ddim":
+            def fn(key, classes, guide_w):
+                return sample_cfg_ddim(
+                    apply_fn, key, max_batch, shape, mc.n_classes, sched,
+                    dc, guide_w=guide_w, n_steps=sc.ddim_steps,
+                    eta=sc.ddim_eta, classes=classes,
+                    discretize=sc.ddim_discretize)
+
+            jfn = (jax.jit(fn) if mesh is None else
+                   jax.jit(fn, out_shardings=xshard))
+
+            def run(key, classes, guide_w):
+                return jfn(key, classes, guide_w)
+        elif kind == "ancestral":
+            def chunk_fn(x, key, steps, classes, guide_w):
+                return sample_cfg(apply_fn, key, max_batch, shape,
+                                  mc.n_classes, sched, dc, guide_w=guide_w,
+                                  classes=classes, steps=steps, x_init=x)
+
+            jchunk = (jax.jit(chunk_fn) if mesh is None else
+                      jax.jit(chunk_fn,
+                              in_shardings=(xshard, None, None, None, None),
+                              out_shardings=xshard))
+            ch = min(chunk, dc.n_T)
+
+            def run(key, classes, guide_w):
+                key, xkey = jax.random.split(key)
+                x = jax.random.normal(xkey, (max_batch,) + shape, jnp.float32)
+                if xshard is not None:
+                    x = jax.device_put(x, xshard)
+                steps = np.arange(dc.n_T, 0, -1, dtype=np.int32)
+                pad = (-len(steps)) % ch
+                if pad:  # i=0 chunk padding is a gated no-op in the scan
+                    steps = np.concatenate([steps, np.zeros(pad, np.int32)])
+                for s in steps.reshape(-1, ch):
+                    key, sub = jax.random.split(key)
+                    x = jchunk(x, sub, jnp.asarray(s), classes, guide_w)
+                return x
+        else:
+            raise ValueError(f"unknown sampler kind: {kind}")
+
+        self._run = run
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._serve, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- public
+    def submit(self, classes: Sequence[int], guide_w: float = 4.0,
+               seed: Optional[int] = None) -> Future:
+        """Request len(classes) images (one per class label). Returns a
+        Future resolving to [len(classes), H, W, C] float32 images."""
+        classes = np.asarray(classes, np.int32)
+        if classes.ndim != 1 or not 0 < len(classes) <= self.max_batch:
+            raise ValueError(
+                f"classes must be 1D with 1..{self.max_batch} entries")
+        if self._closed:
+            raise RuntimeError("service is closed")
+        req = _Request(classes, float(guide_w), seed)
+        self._q.put(req)
+        return req.future
+
+    def generate(self, classes: Sequence[int], guide_w: float = 4.0,
+                 seed: Optional[int] = None) -> np.ndarray:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(classes, guide_w, seed).result()
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # ------------------------------------------------------------- worker
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _serve(self) -> None:
+        import time
+
+        while True:
+            req = self._q.get()
+            if req is None:
+                break
+            batch = [req]
+            slots = len(req.classes)
+            # Pinned-seed requests run alone (exact reproducibility).
+            if req.seed is None:
+                deadline = time.monotonic() + self.max_wait_s
+                while slots < self.max_batch:
+                    timeout = deadline - time.monotonic()
+                    if timeout <= 0:
+                        break
+                    try:
+                        nxt = self._q.get(timeout=timeout)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self._q.put(None)  # re-post the shutdown signal
+                        break
+                    # batchable: same scale, unpinned, fits remaining slots
+                    if (nxt.seed is None and nxt.guide_w == req.guide_w
+                            and slots + len(nxt.classes) <= self.max_batch):
+                        batch.append(nxt)
+                        slots += len(nxt.classes)
+                    else:
+                        self._q.put(nxt)  # leave for the next cycle
+                        break
+            try:
+                flat = np.zeros(self.max_batch, np.int32)
+                off = 0
+                for r in batch:
+                    flat[off:off + len(r.classes)] = r.classes
+                    off += len(r.classes)
+                key = (jax.random.PRNGKey(req.seed)
+                       if req.seed is not None else self._next_key())
+                imgs = np.asarray(self._run(
+                    key, jnp.asarray(flat), jnp.float32(req.guide_w)))
+                off = 0
+                for r in batch:
+                    r.future.set_result(imgs[off:off + len(r.classes)])
+                    off += len(r.classes)
+            except Exception as e:  # pragma: no cover - defensive
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
