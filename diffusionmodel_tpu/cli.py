@@ -20,8 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="TPU-native enhanced diffusion model training/generation")
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "generate", "crop"],
-                   help="train, generate, or crop (offline dataset build)")
+                   choices=["train", "generate", "crop", "serve"],
+                   help="train, generate, crop (offline dataset build), "
+                        "or serve (HTTP generation service)")
     p.add_argument("--ckpt", "--checkpoint", dest="ckpt", type=str,
                    default=None, help="Checkpoint path for generation mode")
     p.add_argument("--guide_scales", "--guidance_scales", dest="guide_scales",
@@ -59,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["voc", "datasetninja"])
     p.add_argument("--crop_out", type=str, default="./data/cropped_images1")
     p.add_argument("--crop_size", type=int, default=512)
+    # serve mode
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="serve mode: fixed sampler batch (slot) size")
     return p
 
 
@@ -158,6 +163,51 @@ def main(argv=None) -> int:
             eval_quality=not args.no_eval,
             metrics_impl=metrics_impl,
         )
+        return 0
+    if args.mode == "serve":
+        if args.ckpt is None:
+            print("Error: Checkpoint path required for serve mode")
+            return 1
+        from diffusionmodel_tpu.checkpoint import extract_params, load_checkpoint
+        from diffusionmodel_tpu.diffusion import Schedule
+        from diffusionmodel_tpu.nn import build_model
+        from diffusionmodel_tpu.serving import SamplerService, make_http_server
+        from diffusionmodel_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+        mc, dc = cfg.model, cfg.diffusion
+        class_names = [f"class_{i}" for i in range(mc.n_classes)]
+        try:
+            from diffusionmodel_tpu.data import CrackDataset
+
+            ds = CrackDataset(cfg.data_root, img_size=mc.img_size)
+            if ds.classes:
+                class_names = ds.classes
+                if len(ds.classes) != mc.n_classes:
+                    import dataclasses as _dc
+
+                    cfg = cfg.replace(model=_dc.replace(
+                        mc, n_classes=len(ds.classes)))
+                    mc = cfg.model
+        except FileNotFoundError:
+            pass
+        ckpt = load_checkpoint(args.ckpt, arch=mc.arch, norm=mc.norm)
+        params = extract_params(ckpt)
+        bs = ckpt.get("batch_stats", {}) if isinstance(ckpt, dict) else {}
+        model = build_model(mc, dc.high_thresh)
+        sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+        service = SamplerService(model, cfg, sched, params, batch_stats=bs,
+                                 max_batch=args.max_batch)
+        httpd = make_http_server(service, port=args.port,
+                                 class_names=class_names)
+        print(f"Serving on :{args.port} (POST /generate, GET /healthz); "
+              f"classes: {class_names}")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            service.close()
         return 0
     if args.mode == "crop":
         from diffusionmodel_tpu.data.crop_tool import (

@@ -218,3 +218,74 @@ class SamplerService:
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+
+
+# ---------------------------------------------------------------- HTTP API
+def make_http_server(service: SamplerService, host: str = "0.0.0.0",
+                     port: int = 8000, class_names: Optional[list] = None,
+                     denorm: bool = True):
+    """Minimal stdlib HTTP front-end over a :class:`SamplerService`.
+
+    - ``GET /healthz`` -> {"status": "ok", "classes": [...]}
+    - ``POST /generate`` with JSON {"classes": [ids or names],
+      "guide_w": 4.0, "seed": null} -> {"images": [<base64 PNG>, ...]}
+
+    Returns an ``http.server.ThreadingHTTPServer`` (caller drives
+    ``serve_forever``; the handler threads block on service futures while
+    the single service worker owns the device)."""
+    import base64
+    import io
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    names = class_names or []
+    name_to_id = {n: i for i, n in enumerate(names)}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "classes": names,
+                                 "max_batch": service.max_batch})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                classes = [name_to_id.get(c, c) if isinstance(c, str) else c
+                           for c in req.get("classes", [0])]
+                imgs = service.generate(
+                    [int(c) for c in classes],
+                    guide_w=float(req.get("guide_w", 4.0)),
+                    seed=req.get("seed"))
+                from PIL import Image
+
+                out = []
+                for im in imgs:
+                    arr = im * 0.5 + 0.5 if denorm else im
+                    arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+                    buf = io.BytesIO()
+                    Image.fromarray(arr).save(buf, format="PNG")
+                    out.append(base64.b64encode(buf.getvalue()).decode())
+                self._send(200, {"images": out})
+            except (ValueError, KeyError, TypeError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover
+                self._send(500, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -78,3 +78,42 @@ def test_ancestral_kind_and_mesh(tiny):
             out = svc.generate([0, 1, 2, 0], guide_w=2.0, seed=3)
     assert out.shape == (4, 32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_http_server_roundtrip(tiny):
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from diffusionmodel_tpu.serving import make_http_server
+
+    cfg, model, sched, params = tiny
+    svc = SamplerService(model, cfg, sched, params, max_batch=4,
+                         sampler="ddim")
+    httpd = make_http_server(svc, port=0, class_names=["a", "b", "c"])
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            h = _json.loads(r.read())
+        assert h["status"] == "ok" and h["classes"] == ["a", "b", "c"]
+
+        body = _json.dumps({"classes": ["b", 2], "guide_w": 2.0,
+                            "seed": 5}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out = _json.loads(r.read())
+        assert len(out["images"]) == 2
+        img = Image.open(io.BytesIO(base64.b64decode(out["images"][0])))
+        assert img.size == (32, 32) and img.mode == "RGB"
+    finally:
+        httpd.shutdown()
+        svc.close()
