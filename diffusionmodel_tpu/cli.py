@@ -199,7 +199,8 @@ def main(argv=None) -> int:
         service = SamplerService(model, cfg, sched, params, batch_stats=bs,
                                  max_batch=args.max_batch)
         httpd = make_http_server(service, port=args.port,
-                                 class_names=class_names)
+                                 class_names=class_names,
+                                 denorm=cfg.sample.denorm)
         print(f"Serving on :{args.port} (POST /generate, GET /healthz); "
               f"classes: {class_names}")
         try:

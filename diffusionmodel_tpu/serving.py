@@ -70,12 +70,18 @@ class SamplerService:
         shape = (mc.img_size, mc.img_size, mc.in_ch)
         kind = sampler or sc.sampler
 
-        def apply_fn(x, c, t, ctx, attn, train):
-            variables = {"params": self._params}
-            if self._batch_stats:
-                variables["batch_stats"] = self._batch_stats
-            return model.apply(variables, x, c, t, ctx, attn_mask=attn,
-                               train=False)
+        # params/batch_stats travel as jit ARGUMENTS (closure capture would
+        # embed them as program constants — oversized compile payloads for
+        # real checkpoints; see CLAUDE.md / trainer.make_sampler).
+        def _apply(params, batch_stats):
+            def apply_fn(x, c, t, ctx, attn, train):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return model.apply(variables, x, c, t, ctx, attn_mask=attn,
+                                   train=False)
+
+            return apply_fn
 
         xshard = None
         if mesh is not None and max_batch % mesh.shape["data"] == 0:
@@ -85,43 +91,44 @@ class SamplerService:
         self._xshard = xshard
 
         if kind == "ddim":
-            def fn(key, classes, guide_w):
+            def fn(params, batch_stats, key, classes, guide_w):
                 return sample_cfg_ddim(
-                    apply_fn, key, max_batch, shape, mc.n_classes, sched,
-                    dc, guide_w=guide_w, n_steps=sc.ddim_steps,
-                    eta=sc.ddim_eta, classes=classes,
+                    _apply(params, batch_stats), key, max_batch, shape,
+                    mc.n_classes, sched, dc, guide_w=guide_w,
+                    n_steps=sc.ddim_steps, eta=sc.ddim_eta, classes=classes,
                     discretize=sc.ddim_discretize)
 
             jfn = (jax.jit(fn) if mesh is None else
                    jax.jit(fn, out_shardings=xshard))
 
             def run(key, classes, guide_w):
-                return jfn(key, classes, guide_w)
+                return jfn(self._params, self._batch_stats, key, classes,
+                           guide_w)
         elif kind == "ancestral":
-            def chunk_fn(x, key, steps, classes, guide_w):
-                return sample_cfg(apply_fn, key, max_batch, shape,
-                                  mc.n_classes, sched, dc, guide_w=guide_w,
-                                  classes=classes, steps=steps, x_init=x)
+            from diffusionmodel_tpu.diffusion import sample_cfg_chunked
+
+            def chunk_fn(params, batch_stats, x, key, steps, classes,
+                         guide_w):
+                return sample_cfg(_apply(params, batch_stats), key,
+                                  max_batch, shape, mc.n_classes, sched, dc,
+                                  guide_w=guide_w, classes=classes,
+                                  steps=steps, x_init=x)
 
             jchunk = (jax.jit(chunk_fn) if mesh is None else
                       jax.jit(chunk_fn,
-                              in_shardings=(xshard, None, None, None, None),
+                              in_shardings=(None, None, xshard, None, None,
+                                            None, None),
                               out_shardings=xshard))
-            ch = min(chunk, dc.n_T)
 
             def run(key, classes, guide_w):
-                key, xkey = jax.random.split(key)
-                x = jax.random.normal(xkey, (max_batch,) + shape, jnp.float32)
-                if xshard is not None:
-                    x = jax.device_put(x, xshard)
-                steps = np.arange(dc.n_T, 0, -1, dtype=np.int32)
-                pad = (-len(steps)) % ch
-                if pad:  # i=0 chunk padding is a gated no-op in the scan
-                    steps = np.concatenate([steps, np.zeros(pad, np.int32)])
-                for s in steps.reshape(-1, ch):
-                    key, sub = jax.random.split(key)
-                    x = jchunk(x, sub, jnp.asarray(s), classes, guide_w)
-                return x
+                # adapter pins batch_stats/classes; the shared chunk driver
+                # handles noise init, the >4-min-program chunk cap, and
+                # gated i=0 padding (diffusion.sample_cfg_chunked).
+                return sample_cfg_chunked(
+                    lambda p, x, k, s, w: jchunk(
+                        p, self._batch_stats, x, k, s, classes, w),
+                    self._params, key, max_batch, shape, dc, guide_w,
+                    chunk=min(chunk, dc.n_T), x_sharding=xshard)
         else:
             raise ValueError(f"unknown sampler kind: {kind}")
 
@@ -156,6 +163,16 @@ class SamplerService:
             self._closed = True
             self._q.put(None)
             self._worker.join()
+            # fail any request that raced past the _closed check in
+            # submit() and landed behind the shutdown sentinel — its
+            # future would otherwise never resolve.
+            while True:
+                try:
+                    req = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None and not req.future.done():
+                    req.future.set_exception(RuntimeError("service closed"))
 
     def __enter__(self):
         return self

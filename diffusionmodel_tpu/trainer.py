@@ -187,8 +187,11 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
 
     jchunk = _jit_sampler(jchunk, (xshard, rep, rep, rep))
 
+    is_bf16 = getattr(model, "dtype", jnp.float32) == jnp.bfloat16
+    jcast = jax.jit(_precast) if is_bf16 else None  # shardings pass through
+
     def sfn(params, batch_stats, key, guide_w):
-        cast_params = jax.jit(_precast)(params)  # shardings pass through
+        cast_params = jcast(params) if is_bf16 else params
         return sample_cfg_chunked(
             lambda p, x, k, s, w: jchunk(p, batch_stats, x, k, s, w),
             cast_params, key, n_sample, shape, dc, guide_w,
