@@ -140,7 +140,8 @@ def main(argv=None) -> int:
             try:
                 dataset = ImageFolderDataset(
                     cfg.data_root, img_size=cfg.model.img_size,
-                    channels=cfg.model.in_ch)
+                    channels=cfg.model.in_ch,
+                    hflip_prob=cfg.train.hflip_prob)
             except (FileNotFoundError, NotADirectoryError):
                 print(f"No image folder at {cfg.data_root}; "
                       "using synthetic fallback")

@@ -230,7 +230,10 @@ def preset(name: str, **overrides) -> Config:
                 n_epoch=100, lr_schedule="none", optimizer="adam",
                 grad_clip=0.0, hflip_prob=0.0,
             ),
-            sample=SampleConfig(guide_scales=(0.0,), samples_per_class=16),
+            # denorm=False: this family trains/samples in [0,1] (labml
+            # ToTensor semantics) — x*0.5+0.5 would wash artifacts out.
+            sample=SampleConfig(guide_scales=(0.0,), samples_per_class=16,
+                                denorm=False),
         )
     elif name == "generation":
         # Generation sweep config: guidance 2/4/6, 5 samples/class, full eval.

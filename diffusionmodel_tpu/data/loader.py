@@ -91,28 +91,39 @@ class BatchLoader:
             # most window+prefetch assembled batches exist at once — the
             # epoch's decoded images can never pile up in host RAM.
             window = self.num_workers + self.prefetch
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                from collections import deque
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    from collections import deque
 
-                futs = deque(pool.submit(self._assemble, ch)
-                             for ch in chunks[:window])
-                next_i = len(futs)
-                while futs:
-                    if stop.is_set():
-                        for f in futs:
-                            f.cancel()
-                        return
-                    item = futs.popleft().result()
-                    if next_i < len(chunks):
-                        futs.append(pool.submit(self._assemble, chunks[next_i]))
-                        next_i += 1
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-            q.put(None)
+                    futs = deque(pool.submit(self._assemble, ch)
+                                 for ch in chunks[:window])
+                    next_i = len(futs)
+                    while futs:
+                        if stop.is_set():
+                            for f in futs:
+                                f.cancel()
+                            return
+                        item = futs.popleft().result()
+                        if next_i < len(chunks):
+                            futs.append(
+                                pool.submit(self._assemble, chunks[next_i]))
+                            next_i += 1
+                        while not stop.is_set():
+                            try:
+                                q.put(item, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                q.put(None)
+            except BaseException as e:
+                # a failed decode (corrupt image, bad XML) must not strand
+                # the consumer on q.get() forever — hand it the exception.
+                while not stop.is_set():
+                    try:
+                        q.put(e, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -121,6 +132,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -97,6 +97,10 @@ def train_loss(
         # TextbookSchedule and the network receives the RAW timestep (its
         # sinusoidal TimeEmbedding does the encoding). Unconditional family:
         # context inputs are placeholders the adapter ignores.
+        # NOTE: same math as models.annotated_ddpm.DenoiseDiffusion.loss
+        # (kept inline: this path's 3-way key split and apply_fn signature
+        # differ); formula pinned by test_annotated_ddpm's reconstruction
+        # test — change BOTH if the formulation ever moves.
         ts = jax.random.randint(tkey, (b,), 0, dc.n_T)
         noise = jax.random.normal(nkey, x.shape, dtype=jnp.float32)
         ab = sched.alpha_bar[ts][:, None, None, None]
@@ -222,6 +226,8 @@ def sample_cfg_chunked(
     guide_w,
     chunk: int = 100,
     x_sharding=None,
+    steps=None,
+    pad_value: int = 0,
 ):
     """Host-chunked ancestral sampling for environments that cap single
     XLA-program execution time (this dev tunnel kills programs running
@@ -230,6 +236,11 @@ def sample_cfg_chunked(
     chunk; the carry stays on-device between calls, so overhead is one
     dispatch per ``chunk`` steps. ``x_sharding`` lays the carried batch out
     over a device mesh (multi-chip sampling fan-out).
+
+    ``steps``/``pad_value`` support other step conventions: the main
+    family runs i = n_T..1 padded with 0 (the scan body gates i >= 1);
+    the textbook family passes t = n_T-1..0 padded with -1 (its body
+    gates t >= 0).
     """
     import numpy as np
 
@@ -238,11 +249,13 @@ def sample_cfg_chunked(
     x = jax.random.normal(xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
     if x_sharding is not None:
         x = jax.device_put(x, x_sharding)
-    all_steps = np.arange(dc.n_T, 0, -1, dtype=np.int32)
+    all_steps = (np.asarray(steps, np.int32) if steps is not None
+                 else np.arange(dc.n_T, 0, -1, dtype=np.int32))
     pad = (-len(all_steps)) % chunk
     if pad:
-        # pad with i=0 no-op steps (the update is gated on i >= 1)
-        all_steps = np.concatenate([all_steps, np.zeros(pad, np.int32)])
+        # pad with no-op sentinel steps (gated inside the scan body)
+        all_steps = np.concatenate(
+            [all_steps, np.full(pad, pad_value, np.int32)])
     for s in all_steps.reshape(-1, chunk):
         key, sub = jax.random.split(key)
         x = jit_chunk_fn(params, x, sub, jnp.asarray(s), guide_w)

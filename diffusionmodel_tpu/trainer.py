@@ -85,8 +85,12 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
         n_sp = dict(mesh.shape).get("spatial", 1)
         if n_sample % mesh.shape["data"] != 0:
             xshard = rep
-        elif n_sp > 1 and mc.img_size % n_sp == 0:
-            # big-image layout: batch over 'data' AND H over 'spatial'
+        elif (n_sp > 1 and mc.img_size % n_sp == 0
+              and getattr(model, "spatial_shards", 0) > 0):
+            # big-image layout: batch over 'data' AND H over 'spatial'.
+            # Only for models carrying constrain_spatial hooks — without
+            # them XLA's sub-kernel halo exchange on small maps is
+            # numerically wrong (test_gspmd_subkernel_halo_is_wrong...).
             xshard = image_sharding(mesh, 4)
         else:
             xshard = batch_sharding(mesh, 4, 0)
@@ -131,20 +135,14 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
         def sfn(params, batch_stats, key, guide_w):
             import numpy as np
 
-            key, xkey = jax.random.split(key)
-            x = jax.random.normal(xkey, (n_sample,) + shape, jnp.float32)
-            if xshard is not None:
-                x = jax.device_put(x, xshard)
-            all_steps = np.arange(dc.n_T - 1, -1, -1, dtype=np.int32)
-            ch = min(chunk, dc.n_T)
-            pad = (-len(all_steps)) % ch
-            if pad:  # t = -1 chunk padding is a gated no-op in the scan body
-                all_steps = np.concatenate([all_steps,
-                                            -np.ones(pad, np.int32)])
-            for s in all_steps.reshape(-1, ch):
-                key, sub = jax.random.split(key)
-                x = jchunk_tb(params, batch_stats, x, sub, jnp.asarray(s))
-            return x
+            # t = n_T-1 .. 0, padded with the gated t=-1 sentinel; the
+            # shared chunk driver handles noise init / padding / carry.
+            return sample_cfg_chunked(
+                lambda p, x, k, s, w: jchunk_tb(p, batch_stats, x, k, s),
+                params, key, n_sample, shape, dc, guide_w,
+                chunk=min(chunk, dc.n_T), x_sharding=xshard,
+                steps=np.arange(dc.n_T - 1, -1, -1, dtype=np.int32),
+                pad_value=-1)
 
         return sfn
 
@@ -257,7 +255,11 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
 
     key = jax.random.PRNGKey(tc.seed)
     key, init_key = jax.random.split(key)
-    state, tx = create_train_state(model, cfg, init_key, steps_per_epoch)
+    # init under the mesh context: with mesh_spatial > 1 the model carries
+    # constrain_spatial hooks, and with_sharding_constraint inside the
+    # jitted init requires a mesh in context.
+    with mesh:
+        state, tx = create_train_state(model, cfg, init_key, steps_per_epoch)
     start_epoch = 0
     if resume:
         from diffusionmodel_tpu.checkpoint import extract_params, load_checkpoint
@@ -413,7 +415,8 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
                                              sub, jnp.float32(w)))
                     imgs_per_min = len(gen) / max(time.time() - t_s, 1e-9) * 60
                     save_samples(gen, os.path.join(
-                        tc.save_dir, f"img_ep{ep}_w{w}.png"), nrow=4)
+                        tc.save_dir, f"img_ep{ep}_w{w}.png"), nrow=4,
+                        denorm=cfg.sample.denorm)
                     try:
                         qm = img_metrics.evaluate_batch(real, gen)
                         qm.update(guide_scale=w, epoch=ep,

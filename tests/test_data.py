@@ -245,3 +245,16 @@ def test_wire_u8_roundtrip_bit_identical(fake_root):
                           normalize=True)
     np.testing.assert_array_equal(np.asarray(x), bf["x"])
     np.testing.assert_array_equal(np.asarray(mask), bf["mask"])
+
+
+def test_loader_surfaces_decode_errors(fake_root):
+    """A corrupt image must raise in the consumer, not hang the epoch."""
+    ds = CrackDataset(fake_root, img_size=32)
+    # corrupt one image file in place
+    bad = ds.samples[0][0]
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg")
+    loader = BatchLoader(ds, np.arange(len(ds)), batch_size=2, accum_steps=2,
+                         num_workers=2, shuffle=False)
+    with pytest.raises(Exception):
+        list(loader)

@@ -350,3 +350,22 @@ def test_spatial_mesh_sampler_matches_single_device():
     assert len(out_sp.sharding.device_set) == 8
     np.testing.assert_allclose(out_1, np.asarray(out_sp), rtol=2e-4,
                                atol=1e-5)
+
+
+def test_fit_with_spatial_mesh_initializes(tmp_path):
+    """Regression: fit() with train.mesh_spatial > 1 builds a model with
+    constrain_spatial hooks, and the jitted param init must run under the
+    mesh context (with_sharding_constraint crashes outside one)."""
+    from diffusionmodel_tpu.data import SyntheticImageDataset
+    from diffusionmodel_tpu.trainer import fit
+
+    cfg = preset("full", **{
+        "model.n_feat": 8, "model.img_size": 32, "diffusion.n_T": 4,
+        "train.batch_size": 2, "train.accum_steps": 1, "train.n_epoch": 1,
+        "train.mesh_data": 2, "train.mesh_model": 2, "train.mesh_spatial": 2,
+        "train.eval_sample_count": 0, "train.min_save_ep": 100,
+        "train.save_freq": 100, "train.save_dir": str(tmp_path),
+    })
+    ds = SyntheticImageDataset(n=16, img_size=32, n_classes=2)
+    state = fit(cfg, dataset=ds, verbose=False)
+    assert int(state.step) > 0
