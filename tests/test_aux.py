@@ -120,3 +120,12 @@ def test_cli_flag_aliases():
     b = p.parse_args(["--mode", "generate", "--checkpoint", "y",
                       "--guidance_scales", "6.0", "--samples_per_class", "5"])
     assert b.ckpt == "y" and b.guide_scales == [6.0] and b.samples == 5
+
+
+def test_cli_serve_flags():
+    from diffusionmodel_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["--mode", "serve", "--ckpt", "m", "--port", "8123",
+                      "--max_batch", "4", "--sampler", "ddim"])
+    assert a.mode == "serve" and a.port == 8123 and a.max_batch == 4
