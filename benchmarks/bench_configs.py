@@ -35,7 +35,8 @@ def time_train_steps(cfg, batch_shape_override=None, n=3):
                             cfg.diffusion.n_T)
     state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                    steps_per_epoch=100)
-    step = jax.jit(make_train_step(model, sched, cfg, tx, False),
+    has_bn = bool(state.batch_stats)  # mnist preset: BatchNorm (parity)
+    step = jax.jit(make_train_step(model, sched, cfg, tx, has_bn),
                    donate_argnums=(0,))
     a, b, s = tc.accum_steps, tc.batch_size, mc.img_size
     batch = {
