@@ -1,13 +1,34 @@
-"""Quality gate: DDIM-50 vs ancestral-700 on the SAME trained checkpoint
-(VERDICT r1 item 3: back the claimed DDIM speedup with a quality number).
+"""Quality gate for the flagship: >=100 generated images per guidance
+scale, evaluated against Inception-topology proxy features of the FULL
+real crop set (VERDICT r2 item 1 — replaces the statistically
+underpowered 20-vs-20 gate whose fid_proxy contradicted SSIM/PSNR).
 
-End-to-end on real TPU: crop RDD2022 (DatasetNinja layout shipped with the
-reference) -> short flagship training run -> sample the SAME classes/seed
-through both samplers -> FID(-proxy)/SSIM/PSNR vs real crops + timing.
-Writes benchmarks/QUALITY.json and prints one JSON line per result.
+Per checkpoint (epoch label):
+- DDIM-50 generation of ``--n-per-class`` images/class (default 20 =>
+  100 images at 5 classes) for each guidance scale, in sampler-sized
+  chunks (the 16 GB chip caps the CFG-doubled batch);
+- fid_proxy vs the cached features of ALL real crops (1393) — the
+  extractor is the block-validated InceptionV3 trunk with deterministic
+  He-scaled random weights (metrics/image_metrics._default_feature_fn);
+- reference-formula SSIM/PSNR over class-matched real/gen pairs;
+- a sample grid per scale;
+- optionally (--ancestral-n > 0) the ancestral-700 sampler for the
+  DDIM-vs-ancestral comparison.
 
-Usage: python benchmarks/bench_quality.py [--epochs N] [--skip-train]
-(--skip-train reuses ./output/bench_quality/best_model from a prior run.)
+A one-off sensitivity line (fid_proxy of real-vs-noise and
+real-vs-real-holdout) calibrates the metric's scale: training quality
+claims mean something only if noise sits far above the holdout floor.
+
+Results merge into benchmarks/QUALITY.json under ``gates[label]`` so
+successive checkpoints (60/120/200 epochs) build the trajectory.
+
+Usage:
+  python benchmarks/bench_quality.py --ckpt output/flagship/ckpt_ep119 \
+      --label 120 [--scales 2.0 4.0] [--n-per-class 20] [--ancestral-n 0]
+  python benchmarks/bench_quality.py --train-epochs 12   # legacy: train first
+
+Reference counterpart: new_scripy.py:945-1108 (gen_samples + quality eval
+vs real images) at the 400-epoch training depth of new_scripy.py:659-943.
 """
 
 from __future__ import annotations
@@ -23,6 +44,7 @@ sys.path.insert(0, ".")
 REF_DATA = "/root/reference/road-damage-detector-DatasetNinja/train"
 CROP_DIR = "./data/bench_crops"
 OUT_DIR = "./output/bench_quality"
+REAL_FEATS = "./output/real_feats_inception_proxy.npz"
 
 
 def ensure_crops() -> str:
@@ -39,8 +61,6 @@ def ensure_crops() -> str:
                                      os.path.join(REF_DATA, "ann"))
     cropper = DatasetCropper(samples, CROP_DIR, 512)
     n = cropper.process_all(verbose=False)
-    # cropper emits the reference crop_pic layout (class dirs at top level,
-    # crop_pic.py:47-60); CrackDataset consumes root/images/<class>/.
     img_root = os.path.join(CROP_DIR, "images")
     os.makedirs(img_root, exist_ok=True)
     for name in cropper.class_map:
@@ -51,53 +71,91 @@ def ensure_crops() -> str:
     return CROP_DIR
 
 
+def real_features(metrics, dataset, np):
+    """Features of the FULL real set, cached on disk (the extractor is
+    deterministic, so the cache is valid across runs)."""
+    if os.path.exists(REAL_FEATS):
+        d = np.load(REAL_FEATS)
+        if d["n"] == len(dataset.labels):
+            return d["feats"], d["labels"]
+    t0 = time.time()
+    imgs, labels = [], []
+    for i in range(len(dataset.labels)):
+        x, c, _ = dataset.load(i, augment=False)
+        imgs.append(x)
+        labels.append(c)
+    feats = metrics.extract_features(np.stack(imgs))
+    labels = np.asarray(labels)
+    os.makedirs(os.path.dirname(REAL_FEATS), exist_ok=True)
+    np.savez(REAL_FEATS, feats=feats, labels=labels, n=len(labels))
+    print(json.dumps({"stage": "real_feats", "n": int(len(labels)),
+                      "seconds": round(time.time() - t0, 1)}), flush=True)
+    return feats, labels
+
+
+def fid_from_feats(rf, gf, np):
+    from diffusionmodel_tpu.metrics.image_metrics import frechet_distance
+
+    rf = rf.astype(np.float64)
+    gf = gf.astype(np.float64)
+    return frechet_distance(rf.mean(0), np.cov(rf, rowvar=False),
+                            gf.mean(0), np.cov(gf, rowvar=False))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=12)
-    ap.add_argument("--skip-train", action="store_true")
-    ap.add_argument("--n-per-class", type=int, default=4)
+    ap.add_argument("--ckpt", default=os.path.join(OUT_DIR, "best_model"))
+    ap.add_argument("--label", default=None,
+                    help="epoch label for QUALITY.json (e.g. 60/120/200)")
+    ap.add_argument("--scales", type=float, nargs="+", default=[2.0, 4.0])
+    ap.add_argument("--n-per-class", type=int, default=20)
+    ap.add_argument("--chunk-per-class", type=int, default=5,
+                    help="samples per class per sampler call (HBM cap)")
+    ap.add_argument("--ancestral-n", type=int, default=0,
+                    help="also run ancestral-700 on this many images")
+    ap.add_argument("--train-epochs", type=int, default=0,
+                    help="legacy: train this many epochs first")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from diffusionmodel_tpu.checkpoint import extract_params, load_checkpoint
     from diffusionmodel_tpu.config import preset
     from diffusionmodel_tpu.data import CrackDataset
     from diffusionmodel_tpu.diffusion import Schedule
     from diffusionmodel_tpu.metrics import ImageMetrics
+    from diffusionmodel_tpu.metrics.image_metrics import calc_psnr, calc_ssim
     from diffusionmodel_tpu.nn import build_model
     from diffusionmodel_tpu.trainer import make_sampler
     from diffusionmodel_tpu.utils import enable_compilation_cache
+    from diffusionmodel_tpu.utils.grid import save_samples
 
     enable_compilation_cache()
     root = ensure_crops()
 
     cfg = preset("full", **{
         "model.dtype": "bfloat16",
-        "train.batch_size": 1, "train.accum_steps": 4,
-        "train.n_epoch": args.epochs,
-        "train.eval_sample_count": 0,   # no in-loop sampling
-        "train.min_save_ep": 0, "train.save_freq": 10_000,
-        "train.patience": 10_000,
         "train.save_dir": OUT_DIR,
     })
     cfg = cfg.replace(data_root=root)
 
-    ckpt = os.path.join(OUT_DIR, "best_model")
-    if not args.skip_train or not os.path.exists(ckpt):
+    if args.train_epochs:
         from diffusionmodel_tpu.trainer import fit
 
+        tcfg = cfg.replace(train=__import__("dataclasses").replace(
+            cfg.train, batch_size=1, accum_steps=4,
+            n_epoch=args.train_epochs, eval_sample_count=0, min_save_ep=0,
+            save_freq=10_000, patience=10_000))
+        resume = args.ckpt if os.path.exists(args.ckpt) else None
         t0 = time.time()
-        resume = ckpt if os.path.exists(ckpt) else None
-        state = fit(cfg, verbose=True, resume=resume)
-        print(json.dumps({"stage": "train", "epochs": args.epochs,
+        fit(tcfg, verbose=True, resume=resume)
+        print(json.dumps({"stage": "train", "epochs": args.train_epochs,
                           "seconds": round(time.time() - t0, 1)}), flush=True)
-        params = jax.device_get(state.params)
-    else:
-        from diffusionmodel_tpu.checkpoint import extract_params, load_checkpoint
+        args.ckpt = os.path.join(OUT_DIR, "best_model")
 
-        params = extract_params(load_checkpoint(ckpt))
+    params = extract_params(load_checkpoint(args.ckpt))
 
     dataset = CrackDataset(root, img_size=256)
     n_classes = len(dataset.classes)
@@ -108,49 +166,122 @@ def main() -> None:
     sched = Schedule.create(cfg.diffusion.beta1, cfg.diffusion.beta2,
                             cfg.diffusion.n_T)
 
-    n_per = args.n_per_class
-    n_sample = n_per * n_classes
-    classes = jnp.asarray(np.repeat(np.arange(n_classes), n_per), jnp.int32)
+    metrics = ImageMetrics()
+    rf_all, r_labels = real_features(metrics, dataset, np)
 
-    # real images: n_per per class, in dataset (normalized [-1,1]) order
-    real = []
+    # class-matched real pairing set for SSIM/PSNR (+ sensitivity images)
+    n_per = args.n_per_class
+    real_imgs, real_cls = [], []
     for c in range(n_classes):
         idxs = [i for i, l in enumerate(dataset.labels) if l == c][:n_per]
         for i in idxs:
-            real.append(dataset.load(i, augment=False)[0])
-    real = np.stack(real)
+            real_imgs.append(dataset.load(i, augment=False)[0])
+            real_cls.append(c)
+    real_imgs = np.stack(real_imgs)
 
-    metrics = ImageMetrics()
-    key = jax.random.PRNGKey(123)
-    w = jnp.float32(4.0)  # BASELINE's guidance 4.0 target
-    results = {}
-    for name, scfg in (
-        ("ancestral_700", cfg),
-        ("ddim_50", cfg.replace(sample=_dc.replace(
-            cfg.sample, sampler="ddim", ddim_steps=50))),
-    ):
-        sampler = make_sampler(model, scfg, sched, False, n_sample,
-                               classes=classes, chunk=50)
+    label = args.label or "adhoc"
+    qpath = "benchmarks/QUALITY.json"
+    doc = {}
+    if os.path.exists(qpath):
+        with open(qpath) as f:
+            doc = json.load(f)
+    if "results" in doc:  # round-2 schema (20v20 gate): keep, demoted
+        doc = {"round2_20v20": doc}
+    doc.setdefault("config",
+                   "flagship 353M @256px, DDIM-50 (+optional ancestral-700), "
+                   "fid_proxy = InceptionV3-topology random-He features vs "
+                   "the FULL real crop set")
+    doc.setdefault("n_real", int(len(r_labels)))
+    gates = doc.setdefault("gates", {})
+
+    # one-off metric calibration: holdout floor vs noise ceiling
+    if "sensitivity" not in doc:
+        rng = np.random.RandomState(0)
+        perm = rng.permutation(len(rf_all))
+        half_a, half_b = perm[: len(perm) // 2], perm[len(perm) // 2:]
+        noise = rng.randn(100, 256, 256, 3).astype(np.float32)
+        nf = metrics.extract_features(np.clip(noise, -1, 1))
+        doc["sensitivity"] = {
+            "fid_proxy_real_halves": round(
+                fid_from_feats(rf_all[half_a], rf_all[half_b], np), 4),
+            "fid_proxy_real_vs_noise": round(
+                fid_from_feats(rf_all, nf, np), 4),
+        }
+        print(json.dumps({"stage": "sensitivity", **doc["sensitivity"]}),
+              flush=True)
+
+    chunk_pc = args.chunk_per_class
+    n_chunk = chunk_pc * n_classes
+    classes = jnp.asarray(np.repeat(np.arange(n_classes), chunk_pc),
+                          jnp.int32)
+    dcfg = cfg.replace(sample=_dc.replace(cfg.sample, sampler="ddim",
+                                          ddim_steps=50))
+    sampler = make_sampler(model, dcfg, sched, False, n_chunk,
+                           classes=classes, chunk=50)
+
+    entry = gates.setdefault(str(label), {})
+    entry["ckpt"] = args.ckpt
+    for w in args.scales:
         t0 = time.time()
-        gen = np.asarray(sampler(params, {}, key, w))
+        gens = []
+        for r in range(max(1, n_per // chunk_pc)):
+            key = jax.random.PRNGKey(123 + 1000 * r)
+            gens.append(np.asarray(
+                sampler(params, {}, key, jnp.float32(w))))
+        gen = np.concatenate(gens)  # grouped per chunk: class-major inside
         secs = time.time() - t0
-        qm = metrics.evaluate_batch(real[: len(gen)], gen)
-        qm = {k: (round(float(v), 4) if isinstance(v, (int, float)) else v)
-              for k, v in qm.items()}
-        qm.update(seconds=round(secs, 1),
-                  images_per_min=round(n_sample * 60 / secs, 2))
-        results[name] = qm
-        print(json.dumps({"stage": name, **qm}), flush=True)
+        # reorder to class-major overall to pair with real_cls
+        cls = np.tile(np.repeat(np.arange(n_classes), chunk_pc),
+                      max(1, n_per // chunk_pc))
+        order = np.argsort(cls, kind="stable")
+        gen = gen[order]
+        gf = metrics.extract_features(gen)
+        n_pair = min(len(gen), len(real_imgs))
+        ssim = float(np.mean([calc_ssim(r_, g_) for r_, g_ in
+                              zip(real_imgs[:n_pair], gen[:n_pair])]))
+        psnr = float(np.mean([calc_psnr(r_, g_) for r_, g_ in
+                              zip(real_imgs[:n_pair], gen[:n_pair])]))
+        rec = {
+            "n_gen": int(len(gen)),
+            "fid_proxy_vs_full_real": round(fid_from_feats(rf_all, gf, np), 4),
+            "ssim": round(ssim, 4), "psnr": round(psnr, 4),
+            "seconds": round(secs, 1),
+            "images_per_min": round(len(gen) * 60 / secs, 2),
+        }
+        entry[f"ddim50_w{w}"] = rec
+        save_samples(gen, os.path.join(OUT_DIR, f"gate_ep{label}_w{w}.png"),
+                     nrow=n_per, denorm=True)
+        print(json.dumps({"stage": f"ddim50_w{w}", "label": label, **rec}),
+              flush=True)
+        with open(qpath, "w") as f:
+            json.dump(doc, f, indent=2)
 
-    out = {
-        "config": "flagship 353M @256px, guidance 4.0, matched seed/classes",
-        "n_sample": n_sample, "n_classes": n_classes,
-        "epochs_trained": args.epochs,
-        "results": results,
-    }
-    with open("benchmarks/QUALITY.json", "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps({"stage": "done", "written": "benchmarks/QUALITY.json"}))
+    if args.ancestral_n:
+        acls = jnp.asarray(
+            np.repeat(np.arange(n_classes),
+                      max(1, args.ancestral_n // n_classes)), jnp.int32)
+        asampler = make_sampler(model, cfg, sched, False, int(acls.shape[0]),
+                                classes=acls, chunk=50)
+        t0 = time.time()
+        gen = np.asarray(asampler(params, {}, jax.random.PRNGKey(123),
+                                  jnp.float32(4.0)))
+        secs = time.time() - t0
+        gf = metrics.extract_features(gen)
+        rec = {
+            "n_gen": int(len(gen)),
+            "fid_proxy_vs_full_real": round(fid_from_feats(rf_all, gf, np), 4),
+            "seconds": round(secs, 1),
+            "images_per_min": round(len(gen) * 60 / secs, 2),
+        }
+        entry["ancestral700_w4.0"] = rec
+        save_samples(gen, os.path.join(OUT_DIR, f"gate_ep{label}_anc.png"),
+                     nrow=8, denorm=True)
+        print(json.dumps({"stage": "ancestral700", "label": label, **rec}),
+              flush=True)
+
+    with open(qpath, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps({"stage": "done", "written": qpath, "label": label}))
 
 
 if __name__ == "__main__":

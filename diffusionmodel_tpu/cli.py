@@ -20,9 +20,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="TPU-native enhanced diffusion model training/generation")
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "generate", "crop", "serve"],
+                   choices=["train", "generate", "crop", "serve",
+                            "txt2img", "img2img", "inpaint"],
                    help="train, generate, crop (offline dataset build), "
-                        "or serve (HTTP generation service)")
+                        "serve (HTTP generation service), or the "
+                        "latent-diffusion pipelines (txt2img/img2img/"
+                        "inpaint, reference/stable_diffusion/scripts/*)")
     p.add_argument("--ckpt", "--checkpoint", dest="ckpt", type=str,
                    default=None, help="Checkpoint path for generation mode")
     p.add_argument("--guide_scales", "--guidance_scales", dest="guide_scales",
@@ -64,6 +67,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8,
                    help="serve mode: fixed sampler batch (slot) size")
+    # LDM modes (txt2img/img2img/inpaint) — flag parity with
+    # reference/stable_diffusion/scripts/text_to_image.py:104-130 etc.
+    p.add_argument("--prompt", type=str,
+                   default="a painting of a virus monster playing guitar",
+                   help="LDM modes: the text prompt (reference default)")
+    p.add_argument("--orig_img", "--orig-img", dest="orig_img", type=str,
+                   default=None, help="img2img/inpaint: input image file")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="LDM modes: images per prompt")
+    p.add_argument("--scale", type=float, default=None,
+                   help="LDM unconditional guidance scale (default 7.5 "
+                        "txt2img / 5.0 img2img+inpaint)")
+    p.add_argument("--strength", type=float, default=0.75,
+                   help="img2img/inpaint: noising strength")
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--flash", dest="flash", action="store_true",
+                   default=True, help="use the Pallas flash-attention "
+                   "kernel (default ON; measured 1.5-1.6x at 512px)")
+    p.add_argument("--no_flash", dest="flash", action="store_false")
+    p.add_argument("--ldm_arch", type=str, default="sd",
+                   choices=["sd", "tiny"],
+                   help="sd = SD-v1 scale (860M); tiny = smoke-test size")
+    p.add_argument("--ldm_sampler", type=str, default="ddim",
+                   choices=["ddim", "ddpm"])
+    p.add_argument("--out_dir", type=str, default="./output/ldm/")
     return p
 
 
@@ -210,6 +239,43 @@ def main(argv=None) -> int:
             pass
         finally:
             service.close()
+        return 0
+    if args.mode in ("txt2img", "img2img", "inpaint"):
+        from diffusionmodel_tpu.models.latent_diffusion.runner import (
+            LdmRunner,
+        )
+        from diffusionmodel_tpu.models.latent_diffusion.util import (
+            load_img,
+            save_images,
+            set_seed,
+        )
+        from diffusionmodel_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+        key = set_seed(args.seed if args.seed is not None else 42)
+        runner = LdmRunner(
+            sd_ckpt=args.ckpt, arch=args.ldm_arch, use_flash=args.flash,
+            sampler=args.ldm_sampler, steps=args.steps or 50,
+        )
+        scale = args.scale
+        if args.mode == "txt2img":
+            imgs = runner.txt2img(
+                args.prompt, batch_size=args.batch_size, h=args.height,
+                w=args.width,
+                uncond_scale=7.5 if scale is None else scale, key=key)
+        else:
+            if not args.orig_img:
+                print("Error: --orig_img required for "
+                      f"{args.mode} mode")
+                return 1
+            img = load_img(args.orig_img, size=(args.height, args.width))
+            img = img.repeat(args.batch_size, axis=0)
+            fn = runner.img2img if args.mode == "img2img" else runner.inpaint
+            imgs = fn(img, args.prompt, strength=args.strength,
+                      uncond_scale=5.0 if scale is None else scale, key=key)
+        paths = save_images(imgs, args.out_dir, prefix=f"{args.mode}_")
+        print(f"Wrote {len(paths)} image(s): {paths[0]}"
+              + (f" .. {paths[-1]}" if len(paths) > 1 else ""))
         return 0
     if args.mode == "crop":
         from diffusionmodel_tpu.data.crop_tool import (

@@ -140,6 +140,20 @@ def train_loss(
     return weighted + feat_consist
 
 
+def _guide_arr(guide_w, n_sample: int):
+    """Normalize guide_w to something that broadcasts against [n,H,W,C]:
+    a scalar stays scalar; a [n] vector (per-sample guidance — lets one
+    batch mix guidance scales, e.g. a whole CLI sweep or mixed serving
+    traffic in a single compiled program) reshapes to [n,1,1,1]."""
+    w = jnp.asarray(guide_w, jnp.float32)
+    if w.ndim == 0:
+        return w
+    if w.shape != (n_sample,):
+        raise ValueError(
+            f"guide_w must be a scalar or shape ({n_sample},), got {w.shape}")
+    return w.reshape((n_sample, 1, 1, 1))
+
+
 def _cfg_inputs(n_sample, n_classes, dc, classes):
     if classes is None:
         c = jnp.arange(n_classes, dtype=jnp.int32)
@@ -178,6 +192,10 @@ def sample_cfg(
     on-device folded PRNG. Returns x_0 with shape [n_sample, H, W, C]
     (+ the full denoising trajectory when return_history).
 
+    ``guide_w`` may be a scalar or a [n_sample] vector (per-sample guidance:
+    the CFG combine is per-sample arithmetic, so one batch — one compiled
+    program — can carry mixed guidance scales).
+
     ``steps``/``x_init`` support chunked execution (see
     :func:`sample_cfg_chunked`): pass a slice of the descending i-sequence
     and the carried state to run part of the trajectory.
@@ -188,6 +206,7 @@ def sample_cfg(
         xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
 
     c2, mask2 = _cfg_inputs(n_sample, n_classes, dc, classes)
+    gw = _guide_arr(guide_w, n_sample)
 
     if steps is None:
         steps = jnp.arange(dc.n_T, 0, -1, dtype=jnp.int32)
@@ -199,7 +218,7 @@ def sample_cfg(
         xx = jnp.concatenate([x, x], axis=0)
         eps = apply_fn(xx, c2, t_norm, mask2, None, False).astype(jnp.float32)
         e1, e2 = eps[:n_sample], eps[n_sample:]
-        e = (1.0 + guide_w) * e1 - guide_w * e2
+        e = (1.0 + gw) * e1 - gw * e2
         z = jax.random.normal(zkey, x.shape, dtype=jnp.float32)
         z = jnp.where(i > 1, z, jnp.zeros_like(z))
         x_new = (
@@ -262,6 +281,35 @@ def sample_cfg_chunked(
     return x
 
 
+def ddim_taus(n_T: int, n_steps: int, discretize: str = "uniform"):
+    """Ascending tau subsequence over [1, n_T] (host-side: static shapes).
+
+    ``quad``: quadratic spacing concentrating steps near t=0 (reference
+    ddim.py:42-50). The reference's squared-linspace -> int map collides at
+    the low end for small n_T, wasting those network calls on
+    tau_prev == tau no-op steps; here the unique taus are kept and
+    refilled to exactly n_steps from the smallest unused timesteps — same
+    count, all distinct, still concentrated near t=0.
+    """
+    import numpy as np
+
+    if n_steps > n_T:
+        raise ValueError(f"n_steps={n_steps} exceeds n_T={n_T}")
+    if discretize == "quad":
+        taus = ((np.linspace(0, np.sqrt(n_T * 0.8), n_steps) ** 2)
+                .astype(np.int64) + 1).clip(1, n_T)
+        uniq = np.unique(taus)
+        if len(uniq) < n_steps:
+            unused = np.setdiff1d(np.arange(1, n_T + 1, dtype=np.int64),
+                                  uniq)
+            uniq = np.sort(np.concatenate(
+                [uniq, unused[:n_steps - len(uniq)]]))
+        return uniq
+    if discretize == "uniform":
+        return np.linspace(1, n_T, n_steps).round().astype(np.int64)
+    raise ValueError(f"unknown discretize {discretize!r}")
+
+
 def sample_cfg_ddim(
     apply_fn: Callable[..., jnp.ndarray],
     key: jax.Array,
@@ -279,7 +327,8 @@ def sample_cfg_ddim(
     """DDIM sampling over a tau-subsequence of the MAIN family's schedule —
     a speed upgrade over the reference's full 700-step ancestral loop
     (10-50x fewer network evaluations at comparable quality). Uses the same
-    CFG arithmetic/orientation flags as :func:`sample_cfg`.
+    CFG arithmetic/orientation flags as :func:`sample_cfg`, including
+    per-sample ``guide_w`` vectors.
 
     ``discretize``: "uniform" tau spacing, or "quad" — quadratic spacing
     concentrating steps near t=0 (the reference's DDIM offers both,
@@ -289,28 +338,10 @@ def sample_cfg_ddim(
     key, xkey = jax.random.split(key)
     x = jax.random.normal(xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
 
-    if classes is None:
-        c = jnp.arange(n_classes, dtype=jnp.int32)
-        c = jnp.tile(c, n_sample // n_classes + (1 if n_sample % n_classes else 0))
-        c = c[:n_sample]
-    else:
-        c = jnp.asarray(classes, dtype=jnp.int32)
-    c2 = jnp.concatenate([c, c])
-    first = 1.0 if dc.cfg_fixed_orientation else 0.0
-    mask2 = jnp.concatenate(
-        [jnp.full((n_sample,), first), jnp.full((n_sample,), 1.0 - first)]
-    ).astype(jnp.float32)
+    c2, mask2 = _cfg_inputs(n_sample, n_classes, dc, classes)
+    gw = _guide_arr(guide_w, n_sample)
 
-    # tau subsequence over [1, n_T], descending (host-side: static shapes).
-    import numpy as np
-
-    if discretize == "quad":
-        taus_np = ((np.linspace(0, np.sqrt(dc.n_T * 0.8), n_steps) ** 2)
-                   .astype(np.int64) + 1).clip(1, dc.n_T)
-    elif discretize == "uniform":
-        taus_np = np.linspace(1, dc.n_T, n_steps).round().astype(np.int64)
-    else:
-        raise ValueError(f"unknown discretize {discretize!r}")
+    taus_np = ddim_taus(dc.n_T, n_steps, discretize)
     taus = jnp.asarray(taus_np[::-1].copy(), jnp.int32)
     taus_prev = jnp.concatenate([taus[1:], jnp.zeros((1,), jnp.int32)])
     ab = jnp.concatenate([jnp.ones((1,)), sched.alphabar_t[1:]])  # ab[0]=1
@@ -323,7 +354,7 @@ def sample_cfg_ddim(
         xx = jnp.concatenate([x, x], axis=0)
         eps = apply_fn(xx, c2, t_norm, mask2, None, False).astype(jnp.float32)
         e1, e2 = eps[:n_sample], eps[n_sample:]
-        e = (1.0 + guide_w) * e1 - guide_w * e2
+        e = (1.0 + gw) * e1 - gw * e2
         a, a_prev = ab[tau], ab[tau_p]
         x0 = (x - jnp.sqrt(1.0 - a) * e) / jnp.sqrt(a)
         sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a) * (1 - a / a_prev))

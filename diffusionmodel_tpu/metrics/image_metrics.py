@@ -88,23 +88,32 @@ def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
 
 
 def _default_feature_fn():
-    """Deterministic weight-free feature extractor (fixed-seed random conv
-    stack + global pooling). Produces a 2048-d embedding. FID computed with
-    it is self-consistent (comparable across checkpoints/runs) but not
-    comparable to Inception-based published numbers."""
-    import flax.linen as nn
+    """Deterministic weight-free feature extractor: the block-validated
+    InceptionV3 trunk (metrics/inception.py, cross-checked against
+    torchvision in tests/test_inception_parity.py) with fixed-seed random
+    weights. Conv kernels are rescaled from flax's lecun_normal to He
+    (x sqrt 2) so activation variance survives the trunk's ~20 ReLU layers.
+    FID computed with it uses the real 2048-d Inception topology and is
+    self-consistent (comparable across checkpoints/runs) but NOT comparable
+    to trained-Inception published numbers — hence reported as "fid_proxy".
+    Random deep-CNN features are a standard FID stand-in when trained
+    weights are unavailable (the reference's trained trunk is
+    new_scripy.py:1120-1127; this zero-egress image has no weights)."""
+    from diffusionmodel_tpu.metrics.inception import InceptionV3Features
 
-    class RandFeat(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            for feat in (64, 128, 256):
-                x = nn.Conv(feat, (3, 3), strides=(2, 2))(x)
-                x = nn.gelu(x)
-            x = nn.Conv(2048, (3, 3), strides=(2, 2))(x)
-            return jnp.mean(x, axis=(1, 2))
+    model = InceptionV3Features()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(42),
+                                    jnp.zeros((1, 299, 299, 3)))
+    root = 2.0 ** 0.5
 
-    model = RandFeat()
-    variables = model.init(jax.random.PRNGKey(42), jnp.zeros((1, 299, 299, 3)))
+    def he(path, leaf):
+        return leaf * root if path[-1].key == "kernel" else leaf
+
+    variables = {
+        "params": jax.tree_util.tree_map_with_path(
+            he, variables["params"]),
+        "batch_stats": variables.get("batch_stats", {}),
+    }
     return jax.jit(lambda x: model.apply(variables, x))
 
 

@@ -39,12 +39,19 @@ class CLIPTextEmbedder:
     offline with a tiny random-config FlaxCLIPTextModel."""
 
     def __init__(self, model_name: str = "openai/clip-vit-large-patch14",
-                 max_length: int = 77, tokenizer=None, model=None):
+                 max_length: int = 77, tokenizer=None, model=None,
+                 local_files_only: bool = False):
         if tokenizer is None or model is None:
             from transformers import CLIPTokenizer, FlaxCLIPTextModel
 
-            tokenizer = tokenizer or CLIPTokenizer.from_pretrained(model_name)
-            model = model or FlaxCLIPTextModel.from_pretrained(model_name)
+            # local_files_only=True fails fast from the HF cache instead
+            # of hanging on network retries — required on zero-egress
+            # hosts (the LdmRunner fallback path depends on a prompt
+            # exception here).
+            tokenizer = tokenizer or CLIPTokenizer.from_pretrained(
+                model_name, local_files_only=local_files_only)
+            model = model or FlaxCLIPTextModel.from_pretrained(
+                model_name, local_files_only=local_files_only)
         self.tokenizer = tokenizer
         self.model = model
         self.max_length = max_length

@@ -39,13 +39,15 @@ class Txt2Img:
         self.sampler = _make_sampler(model, sampler, n_steps, ddim_eta)
 
     def __call__(self, key, prompt=None, cond=None, batch_size: int = 1,
-                 h: int = 512, w: int = 512, uncond_scale: float = 7.5):
+                 h: int = 512, w: int = 512, uncond_scale: float = 7.5,
+                 uncond=None):
         assert h % 32 == 0 and w % 32 == 0
         if cond is None:
             cond = jnp.asarray(self.embedder([prompt] * batch_size))
-        uncond = (jnp.asarray(self.embedder([""] * batch_size))
-                  if self.embedder is not None and uncond_scale != 1.0
-                  else jnp.zeros_like(cond))
+        if uncond is None:
+            uncond = (jnp.asarray(self.embedder([""] * batch_size))
+                      if self.embedder is not None and uncond_scale != 1.0
+                      else jnp.zeros_like(cond))
         key, skey = jax.random.split(key)
         x = self.sampler.sample(skey, (batch_size, h // 8, w // 8, 4), cond,
                                 uncond_scale=uncond_scale, uncond_cond=uncond)
@@ -63,13 +65,15 @@ class Img2Img:
         self.sampler = DDIMSampler(model, n_steps=n_steps, ddim_eta=ddim_eta)
 
     def __call__(self, key, orig_img, prompt=None, cond=None,
-                 strength: float = 0.75, uncond_scale: float = 5.0):
+                 strength: float = 0.75, uncond_scale: float = 5.0,
+                 uncond=None):
         batch = orig_img.shape[0]
         if cond is None:
             cond = jnp.asarray(self.embedder([prompt] * batch))
-        uncond = (jnp.asarray(self.embedder([""] * batch))
-                  if self.embedder is not None and uncond_scale != 1.0
-                  else jnp.zeros_like(cond))
+        if uncond is None:
+            uncond = (jnp.asarray(self.embedder([""] * batch))
+                      if self.embedder is not None and uncond_scale != 1.0
+                      else jnp.zeros_like(cond))
         key, ekey, qkey, pkey = jax.random.split(key, 4)
         z = self.model.autoencoder_encode(orig_img, ekey)
         t_index = int(strength * self.sampler.n_steps)
@@ -91,13 +95,14 @@ class InPaint:
 
     def __call__(self, key, orig_img, prompt=None, cond=None,
                  mask: Optional[jnp.ndarray] = None, strength: float = 0.75,
-                 uncond_scale: float = 5.0):
+                 uncond_scale: float = 5.0, uncond=None):
         batch = orig_img.shape[0]
         if cond is None:
             cond = jnp.asarray(self.embedder([prompt] * batch))
-        uncond = (jnp.asarray(self.embedder([""] * batch))
-                  if self.embedder is not None and uncond_scale != 1.0
-                  else jnp.zeros_like(cond))
+        if uncond is None:
+            uncond = (jnp.asarray(self.embedder([""] * batch))
+                      if self.embedder is not None and uncond_scale != 1.0
+                      else jnp.zeros_like(cond))
         key, ekey, nkey, qkey, pkey = jax.random.split(key, 5)
         z = self.model.autoencoder_encode(orig_img, ekey)
         if mask is None:

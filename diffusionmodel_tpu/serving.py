@@ -8,20 +8,32 @@ use. TPU serving constraints drive the design:
   fixed ``max_batch`` slot layout, so the sampler compiles exactly once
   (first call) and every later request reuses the warm executable —
   recompiles are the serving latency killer on XLA backends.
-- **Classes and guidance scale are traced arguments**, not baked
-  constants: any class mix / scale hits the same program (``guide_w`` is
-  a traced scalar, as in ``trainer.make_sampler``).
+- **Classes and guidance scales are traced arguments**, not baked
+  constants: any class mix / scale mix hits the same program. ``guide_w``
+  is a traced PER-SLOT vector (the CFG combine is per-sample arithmetic,
+  diffusion._guide_arr), so requests with DIFFERENT guidance scales batch
+  together — mixed-scale traffic fills one device batch instead of
+  serializing.
 - **A single owner thread drives the device.** Callers enqueue requests
-  and block on futures; the worker drains the queue, groups requests with
-  equal guidance scale (one scalar per batch), pads, runs, and slices the
-  results back out. This also gives cross-request batching for free —
-  the throughput lever that matters on an MXU-saturating batch.
+  and block on futures; the worker drains the queue, packs unpinned
+  requests into the slot layout, runs, and slices the results back out.
+  A request that does not fit the current batch is held as the HEAD of
+  the next one (strict FIFO — no displacement/starvation under load).
 - **Mesh fan-out.** Pass a ``jax.sharding.Mesh`` to shard the padded
   batch over the 'data' axis exactly like the offline samplers.
 
 Determinism: a batch shares one PRNG stream, so a request's noise depends
 on its batch slot. Requests that pin ``seed`` are run in their own batch
-(exactly reproducible: same seed + classes + scale -> same images).
+(exactly reproducible: same seed + classes + scale -> same images). That
+reproducibility costs throughput: a stream of pinned requests cannot
+cross-batch, so sustained pinned load runs at ~1/max_batch of the
+unpinned images/min ceiling (measured in benchmarks/bench_serving.py).
+
+Both schedule families serve: the main family samples with CFG
+(DDIM or chunked ancestral); ``schedule_family="textbook"`` checkpoints
+(annotated-DDPM / labml presets) sample unconditionally through the
+textbook ancestral path — classes select slot count only and guidance is
+ignored, mirroring trainer.make_sampler's textbook branch.
 """
 
 from __future__ import annotations
@@ -89,8 +101,51 @@ class SamplerService:
 
             xshard = batch_sharding(mesh, 4, 0)
         self._xshard = xshard
+        self.n_classes = mc.n_classes
+        self.schedule_family = dc.schedule_family
 
-        if kind == "ddim":
+        if dc.schedule_family == "textbook":
+            # annotated-DDPM family: unconditional textbook ancestral
+            # sampling (reference/ddpm/__init__.py:230-255); classes pick
+            # slot counts only, guide_w is ignored (no CFG training).
+            from diffusionmodel_tpu.diffusion import sample_cfg_chunked
+            from diffusionmodel_tpu.models.annotated_ddpm.diffusion import (
+                DenoiseDiffusion,
+            )
+
+            def chunk_tb(params, batch_stats, x, key, steps):
+                def eps_fn(xx, tt):
+                    variables = {"params": params}
+                    if batch_stats:
+                        variables["batch_stats"] = batch_stats
+                    nb = xx.shape[0]
+                    return model.apply(variables, xx,
+                                       jnp.zeros((nb,), jnp.int32),
+                                       tt.astype(jnp.float32),
+                                       jnp.zeros((nb,), jnp.float32),
+                                       attn_mask=None, train=False)
+
+                dd = DenoiseDiffusion(eps_fn, dc.n_T, dc.beta1, dc.beta2)
+                return dd.sample(key, max_batch, shape, steps=steps,
+                                 x_init=x)
+
+            jchunk_tb = (jax.jit(chunk_tb) if mesh is None else
+                         jax.jit(chunk_tb,
+                                 in_shardings=(None, None, xshard, None,
+                                               None),
+                                 out_shardings=xshard))
+
+            def run(key, classes, guide_w):
+                return sample_cfg_chunked(
+                    lambda p, x, k, s, w: jchunk_tb(
+                        p, self._batch_stats, x, k, s),
+                    self._params, key, max_batch, shape, dc, guide_w,
+                    chunk=min(chunk, dc.n_T), x_sharding=xshard,
+                    steps=np.arange(dc.n_T - 1, -1, -1, dtype=np.int32),
+                    pad_value=-1)
+
+            kind = "textbook"
+        elif kind == "ddim":
             def fn(params, batch_stats, key, classes, guide_w):
                 return sample_cfg_ddim(
                     _apply(params, batch_stats), key, max_batch, shape,
@@ -147,6 +202,13 @@ class SamplerService:
         if classes.ndim != 1 or not 0 < len(classes) <= self.max_batch:
             raise ValueError(
                 f"classes must be 1D with 1..{self.max_batch} entries")
+        if (classes < 0).any() or (classes >= self.n_classes).any():
+            # out-of-range ids would reach the device where XLA gather
+            # CLAMPS the index — a silently-wrong-class image instead of
+            # an error (ADVICE r2).
+            raise ValueError(
+                f"class ids must be in [0, {self.n_classes}), got "
+                f"{sorted(set(int(c) for c in classes))}")
         if self._closed:
             raise RuntimeError("service is closed")
         req = _Request(classes, float(guide_w), seed)
@@ -189,13 +251,16 @@ class SamplerService:
     def _serve(self) -> None:
         import time
 
+        pending: Optional[_Request] = None  # held batch head (FIFO)
         while True:
-            req = self._q.get()
+            req, pending = (pending, None) if pending is not None \
+                else (self._q.get(), None)
             if req is None:
                 break
             batch = [req]
             slots = len(req.classes)
-            # Pinned-seed requests run alone (exact reproducibility).
+            # Pinned-seed requests run alone (exact reproducibility; see
+            # module docstring for the measured throughput cost).
             if req.seed is None:
                 deadline = time.monotonic() + self.max_wait_s
                 while slots < self.max_batch:
@@ -209,24 +274,32 @@ class SamplerService:
                     if nxt is None:
                         self._q.put(None)  # re-post the shutdown signal
                         break
-                    # batchable: same scale, unpinned, fits remaining slots
-                    if (nxt.seed is None and nxt.guide_w == req.guide_w
+                    # batchable: unpinned + fits the remaining slots.
+                    # guide_w may differ per request — it rides a per-slot
+                    # vector, so mixed-scale traffic shares one batch.
+                    if (nxt.seed is None
                             and slots + len(nxt.classes) <= self.max_batch):
                         batch.append(nxt)
                         slots += len(nxt.classes)
                     else:
-                        self._q.put(nxt)  # leave for the next cycle
+                        # hold as the HEAD of the next batch — re-posting
+                        # to the shared queue would let later arrivals
+                        # overtake it (unbounded displacement under load).
+                        pending = nxt
                         break
             try:
                 flat = np.zeros(self.max_batch, np.int32)
+                gw = np.full(self.max_batch, float(batch[0].guide_w),
+                             np.float32)
                 off = 0
                 for r in batch:
                     flat[off:off + len(r.classes)] = r.classes
+                    gw[off:off + len(r.classes)] = r.guide_w
                     off += len(r.classes)
                 key = (jax.random.PRNGKey(req.seed)
                        if req.seed is not None else self._next_key())
                 imgs = np.asarray(self._run(
-                    key, jnp.asarray(flat), jnp.float32(req.guide_w)))
+                    key, jnp.asarray(flat), jnp.asarray(gw)))
                 off = 0
                 for r in batch:
                     r.future.set_result(imgs[off:off + len(r.classes)])

@@ -44,10 +44,12 @@ def build_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransfor
         tc.lr_schedule, tc.lr, max(steps_per_epoch, 1), n_epoch=tc.n_epoch,
         t0=tc.sgdr_t0, t_mult=tc.sgdr_t_mult, eta_min=tc.sgdr_eta_min,
     )
+    mu_dtype = jnp.bfloat16 if tc.moment_dtype == "bfloat16" else None
     if tc.optimizer == "adamw":
-        opt = optax.adamw(schedule, weight_decay=tc.weight_decay)
+        opt = optax.adamw(schedule, weight_decay=tc.weight_decay,
+                          mu_dtype=mu_dtype)
     elif tc.optimizer == "adam":
-        opt = optax.adam(schedule)
+        opt = optax.adam(schedule, mu_dtype=mu_dtype)
     else:
         raise ValueError(f"unknown optimizer {tc.optimizer!r}")
     chain = []

@@ -274,6 +274,17 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
                     restored = jax.tree.unflatten(
                         jax.tree.structure(state.opt_state),
                         jax.tree.leaves(ckpt["opt_state"]))
+                    # Cast restored leaves to the freshly-initialized
+                    # dtypes: a ckpt written with fp32 Adam moments must
+                    # load into a bf16-moment (train.moment_dtype) run
+                    # without forcing a second compile of the train step
+                    # mid-epoch (the first optax update would cast mu and
+                    # change the donated state's dtype signature).
+                    restored = jax.tree.map(
+                        lambda t, l: l if getattr(l, "dtype", None)
+                        == getattr(t, "dtype", None)
+                        else jnp.asarray(l).astype(t.dtype),
+                        state.opt_state, restored)
                     state = state.replace(opt_state=restored)
                 except Exception as e:
                     print(f"opt_state restore skipped: {e}")

@@ -54,16 +54,78 @@ def test_mixed_scales_and_validation(tiny):
     cfg, model, sched, params = tiny
     with SamplerService(model, cfg, sched, params, max_batch=4,
                         sampler="ddim") as svc:
+        # guide_w rides a per-slot vector: different scales share a batch.
+        n_runs = [0]
+        real_run = svc._run
+
+        def counting_run(*a):
+            n_runs[0] += 1
+            return real_run(*a)
+
+        svc._run = counting_run
         f1 = svc.submit([0], guide_w=2.0)
-        f2 = svc.submit([1], guide_w=4.0)  # different scale -> own batch
-        assert f1.result(timeout=120).shape == (1, 32, 32, 3)
-        assert f2.result(timeout=120).shape == (1, 32, 32, 3)
+        f2 = svc.submit([1], guide_w=4.0)
+        f3 = svc.submit([2], guide_w=6.0)
+        outs = [f.result(timeout=240) for f in (f1, f2, f3)]
+        for o in outs:
+            assert o.shape == (1, 32, 32, 3) and np.isfinite(o).all()
+        # <= 2: at least two of the three mixed-scale requests batched
+        # together (the first may run alone if it beat the others to the
+        # worker; with round-2's equal-scale grouping this would be 3).
+        assert n_runs[0] <= 2
         with pytest.raises(ValueError):
             svc.submit([0] * 5)  # exceeds max_batch
         with pytest.raises(ValueError):
             svc.submit([])
+        with pytest.raises(ValueError):
+            svc.submit([3])  # class id out of range (n_classes=3)
+        with pytest.raises(ValueError):
+            svc.submit([-1])
     with pytest.raises(RuntimeError):
         svc.submit([0])  # closed
+
+
+def test_mixed_scale_batch_matches_solo_scales(tiny):
+    """A mixed-scale batch must apply each request's own guide_w: with a
+    pinned key the slot-0 image of a [w=0, w=9] batch differs from a
+    [w=0, w=0] batch only in slot 1."""
+    import jax.numpy as jnp
+
+    cfg, model, sched, params = tiny
+    with SamplerService(model, cfg, sched, params, max_batch=2,
+                        sampler="ddim") as svc:
+        key = jax.random.PRNGKey(11)
+        a = np.asarray(svc._run(key, jnp.asarray([0, 1], jnp.int32),
+                                jnp.asarray([0.0, 0.0], jnp.float32)))
+        b = np.asarray(svc._run(key, jnp.asarray([0, 1], jnp.int32),
+                                jnp.asarray([0.0, 9.0], jnp.float32)))
+    np.testing.assert_allclose(a[0], b[0], atol=1e-5)
+    assert np.abs(a[1] - b[1]).max() > 1e-3
+
+
+def test_textbook_family_service():
+    """schedule_family='textbook' serves through the unconditional
+    annotated-DDPM sampler (ADVICE r2: serve mode previously generated
+    garbage for labml checkpoints by forcing CFG + normalized t)."""
+    cfg = preset("labml", **{
+        "model.n_feat": 8, "model.img_size": 16, "model.ch_mults": (1, 2),
+        "model.is_attn": (False, False), "model.n_blocks": 1,
+        "diffusion.n_T": 8,
+    })
+    model = build_model(cfg.model, cfg.diffusion.high_thresh)
+    sched = Schedule.create(cfg.diffusion.beta1, cfg.diffusion.beta2,
+                            cfg.diffusion.n_T)
+    x = jnp.zeros((2, 16, 16, 3))
+    v = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x,
+        jnp.zeros((2,), jnp.int32), jnp.zeros((2,)), jnp.zeros((2,)),
+        attn_mask=None, train=False)
+    with SamplerService(model, cfg, sched, v["params"], max_batch=2,
+                        chunk=4) as svc:
+        out = svc.generate([0, 0], seed=3)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(out).all()
 
 
 def test_ancestral_kind_and_mesh(tiny):
