@@ -15,10 +15,12 @@ fans the batch out over 8 chips.
 Extras emitted in the same line (VERDICT r1 item 3):
 - ddim50_images_per_min: the DDIM-50 fast sampler on the same model;
 - train_steps_per_sec_per_chip: flagship train step (batch 1 x accum 4,
-  bf16 + remat) optimizer steps/s, plus micro-batch fwd+bwd steps/s;
+  bf16 compute, bf16 Adam mu, remat OFF — the probe-measured fastest
+  point, benchmarks/PROBE_MFU.json) optimizer steps/s, plus micro-batch
+  fwd+bwd steps/s;
 - sampler_mfu_pct: XLA cost-analysis FLOPs / wall-clock vs the v5e
   chip's 197 TFLOP/s bf16 peak; train_mfu_pct: model-FLOPs convention
-  (3x fwd per trained image; remat recompute counted as overhead).
+  (3x fwd per trained image).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and this
 host has no GPU, so the PyTorch baseline is *estimated analytically* (an
@@ -139,12 +141,17 @@ def main() -> None:
                                jnp.float32(4.0)), 2)
         ddim_images_per_min = n_sample * 60.0 / delapsed
 
-    # ---- flagship train step (batch 1 x accum 4, bf16 + remat) ----------
+    # ---- flagship train step: the measured-fastest operating point ------
+    # (benchmarks/PROBE_MFU.json, round 3): micro-batch 1 x accum 4 with
+    # remat OFF — bf16 Adam mu (train.moment_dtype) frees enough HBM that
+    # the 353M @256px backward fits without rematerialization, removing
+    # the recompute third of each micro-step (3.12 vs 2.60 opt-steps/s).
     from diffusionmodel_tpu.train import create_train_state, make_train_step
 
     tcfg = preset("full", **{
         "model.dtype": "bfloat16", "model.n_classes": 5,
         "train.batch_size": 1, "train.accum_steps": 4,
+        "train.remat": False,
     })
     state, tx = create_train_state(model, tcfg, jax.random.PRNGKey(0),
                                    steps_per_epoch=100)

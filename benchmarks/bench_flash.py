@@ -51,6 +51,14 @@ def main():
         ("aligned    N=4096 d=64", 2, 4096, 8, 64),
         ("aligned    N=4096 d=128", 2, 4096, 8, 128),
         ("batch8     N=4096 d=64", 8, 4096, 8, 64),
+        # long-context site (round 3): a 1024px image's level-0 latent is
+        # 128x128 -> N=16384 tokens. XLA's einsum attention materializes
+        # the [B,H,N,N] scores: 16384^2 x 8 heads x 2B bf16 = 4.3 GB per
+        # image in flight — the streaming kernel holds O(block) VMEM.
+        ("long-ctx   N=16384 d=64", 1, 16384, 8, 64),
+        # non-divisible N exercises the in-kernel tail masking (no XLA
+        # fallback since round 3)
+        ("tail-mask  N=4000 d=64", 2, 4000, 8, 64),
     ]
 
     # 20 chained calls inside ONE program (output feeds back as q) so the
@@ -75,15 +83,19 @@ def main():
         q = jax.random.normal(ks[0], (b, n, h, d), jnp.bfloat16)
         k = jax.random.normal(ks[1], (b, n, h, d), jnp.bfloat16)
         v = jax.random.normal(ks[2], (b, n, h, d), jnp.bfloat16)
-        t_x = timeit(lambda: jx(q, k, v)) / REPS
+        try:
+            t_x = timeit(lambda: jx(q, k, v)) / REPS
+        except Exception as e:  # XLA can OOM at the long-context site
+            t_x = None
+            xla_err = f"{type(e).__name__}"
         t_f = timeit(lambda: jfl(q, k, v)) / REPS
         # attention FLOPs: 2 matmuls, 2*N*N*D each, per batch*head
         flops = 2 * 2 * b * h * n * n * d
         print(json.dumps({
             "site": label,
-            "xla_ms": round(t_x * 1e3, 2),
+            "xla_ms": round(t_x * 1e3, 2) if t_x else xla_err,
             "flash_ms": round(t_f * 1e3, 2),
-            "speedup": round(t_x / t_f, 2),
+            "speedup": round(t_x / t_f, 2) if t_x else None,
             "flash_tflops": round(flops / t_f / 1e12, 1),
         }), flush=True)
 

@@ -76,6 +76,42 @@ def main() -> None:
             "images_per_min": round(n_req * per * 60.0 / dt, 2),
         }), flush=True)
 
+        # MIXED guidance scales: round 2 serialized these (one traced
+        # scalar per batch); the per-slot guide_w vector batches them
+        # into the same slot layout — throughput should match the
+        # single-scale number above.
+        scales = [2.0, 3.0, 4.0, 5.0, 6.0]
+        t0 = time.time()
+        futs = [svc.submit([i % 5, (i + 1) % 5], guide_w=scales[i % 5])
+                for i in range(n_req)]
+        outs = [f.result(timeout=600) for f in futs]
+        dt = time.time() - t0
+        assert all(np.isfinite(o).all() for o in outs)
+        print(json.dumps({
+            "stage": "concurrent_mixed_scales",
+            "requests": n_req, "images": n_req * per,
+            "distinct_scales": len(scales),
+            "seconds": round(dt, 2),
+            "images_per_min": round(n_req * per * 60.0 / dt, 2),
+        }), flush=True)
+
+        # seed-PINNED load: each request must run alone for exact
+        # reproducibility — measures the documented throughput cost
+        # (module docstring of serving.py).
+        n_pin = 6
+        t0 = time.time()
+        futs = [svc.submit([i % 5, (i + 1) % 5], guide_w=4.0, seed=100 + i)
+                for i in range(n_pin)]
+        outs = [f.result(timeout=600) for f in futs]
+        dt = time.time() - t0
+        assert all(np.isfinite(o).all() for o in outs)
+        print(json.dumps({
+            "stage": "concurrent_seed_pinned",
+            "requests": n_pin, "images": n_pin * per,
+            "seconds": round(dt, 2),
+            "images_per_min": round(n_pin * per * 60.0 / dt, 2),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,69 @@
+"""Long flagship training run (VERDICT r2 item 1: the rebuild had only
+ever trained 60 of the reference's 400 epochs — run the existing
+checkpoint forward to >=200 epochs on the real RDD2022 crops).
+
+Resumes ./output/bench_quality/ckpt_ep59 (or --resume PATH) and trains to
+--epochs (default 200) at the measured-fastest operating point
+(benchmarks/PROBE_MFU.json: micro-batch 1 x accum 4, remat OFF, bf16
+compute + bf16 Adam mu — 3.12 opt-steps/s vs 2.6 for the round-2 remat
+default). Checkpoints land at epochs 119/179/199 (save_freq 60 + final),
+giving the 120/200 quality-gate points.
+
+Early stopping: the reference's patience-10/min_delta-1e-3 EarlyStop
+(new_scripy.py:587-620) is implemented and tested (train.EarlyStop), but
+at this loss scale (val ~0.013, per-epoch deltas ~1e-4) min_delta=1e-3
+would stop within 10 epochs of any resume — defeating the point of the
+run. patience is set high so the full schedule executes; the gate judges
+quality, not the val plateau.
+
+Usage: python benchmarks/train_flagship.py [--epochs 200] [--resume PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+OUT_DIR = "./output/bench_quality"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--resume", default=os.path.join(OUT_DIR, "ckpt_ep59"))
+    args = ap.parse_args()
+
+    from benchmarks.bench_quality import ensure_crops
+    from diffusionmodel_tpu.config import preset
+    from diffusionmodel_tpu.trainer import fit
+
+    root = ensure_crops()
+    cfg = preset("full", **{
+        "model.dtype": "bfloat16",
+        "train.batch_size": 1, "train.accum_steps": 4,
+        "train.remat": False,            # fits with bf16 mu; +20% steps/s
+        "train.n_epoch": args.epochs,
+        "train.eval_sample_count": 0,    # gates run out-of-loop
+        "train.min_save_ep": 0, "train.save_freq": 60,
+        "train.patience": 10_000,
+        "train.save_dir": OUT_DIR,
+    })
+    cfg = cfg.replace(data_root=root)
+
+    t0 = time.time()
+    fit(cfg, verbose=True,
+        resume=args.resume if os.path.exists(args.resume) else None)
+    print(json.dumps({
+        "stage": "train_flagship", "epochs": args.epochs,
+        "resumed_from": args.resume,
+        "seconds": round(time.time() - t0, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -198,6 +198,15 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
     return sfn
 
 
+def _wire_format_ok(dataset, dc) -> bool:
+    """The uint8 wire format maps mask class indices back to weights with
+    the CONFIG's low/mid/high_weight (train.decode_wire). An externally
+    constructed dataset may carry different mask_values — ship floats
+    then, so training uses the dataset's own weights (ADVICE r2)."""
+    cfg_vals = (dc.low_weight, dc.mid_weight, dc.high_weight)
+    return tuple(getattr(dataset, "mask_values", cfg_vals)) == cfg_vals
+
+
 def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
         metrics_impl: Optional[ImageMetrics] = None, verbose: bool = True,
         resume: Optional[str] = None) -> TrainState:
@@ -235,11 +244,12 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     if verbose:
         print(f"Dataset split - Train: {len(train_idx)}, Val: {len(val_idx)}")
 
+    wire_ok = _wire_format_ok(dataset, dc)
     train_loader = BatchLoader(dataset, train_idx, tc.batch_size,
                                tc.accum_steps, shuffle=True, augment=True,
-                               seed=tc.seed)
+                               seed=tc.seed, wire_u8=wire_ok)
     val_loader = BatchLoader(dataset, val_idx, tc.batch_size, 1, shuffle=False,
-                             augment=False)
+                             augment=False, wire_u8=wire_ok)
 
     mesh = make_mesh(tc.mesh_data, tc.mesh_model, tc.mesh_spatial)
     model = build_model(mc, dc.high_thresh, spatial_shards=tc.mesh_spatial)

@@ -369,3 +369,20 @@ def test_fit_with_spatial_mesh_initializes(tmp_path):
     ds = SyntheticImageDataset(n=16, img_size=32, n_classes=2)
     state = fit(cfg, dataset=ds, verbose=False)
     assert int(state.step) > 0
+
+
+def test_wire_format_disabled_for_custom_mask_values():
+    """fit() must not ship the uint8 mask wire format when the dataset's
+    mask_values differ from the config weights — decode_wire would expand
+    indices with the WRONG weights (ADVICE r2)."""
+    from types import SimpleNamespace
+
+    from diffusionmodel_tpu.config import DiffusionConfig
+    from diffusionmodel_tpu.trainer import _wire_format_ok
+
+    dc = DiffusionConfig()  # weights (0.5, 1.0, 3.0)
+    assert _wire_format_ok(
+        SimpleNamespace(mask_values=(0.5, 1.0, 3.0)), dc)
+    assert not _wire_format_ok(
+        SimpleNamespace(mask_values=(0.5, 1.0, 1.5)), dc)
+    assert _wire_format_ok(SimpleNamespace(), dc)  # no attr: config rules
