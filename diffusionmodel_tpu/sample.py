@@ -35,7 +35,15 @@ def gen_samples(cfg: Config, ckpt_path: str,
                 eval_quality: Optional[bool] = None,
                 dataset: Optional[CrackDataset] = None,
                 metrics_impl: Optional[ImageMetrics] = None,
-                seed: int = 0, verbose: bool = True) -> Dict:
+                seed: int = 0, verbose: bool = True,
+                sweep_one_batch: Optional[bool] = None) -> Dict:
+    """``sweep_one_batch``: run the whole guidance sweep as ONE device
+    batch with a per-sample guide_w vector (diffusion._guide_arr) — one
+    compile, one sampler pass for every scale. Default (None): auto-on
+    when the combined batch stays within the flagship HBM envelope
+    (<= 48 slots). Per-scale artifacts/metrics are identical in form to
+    the loop path; per-scale wall-clock is then the shared pass divided
+    by the number of scales."""
     enable_compilation_cache()
     sc, mc, dc = cfg.sample, cfg.model, cfg.diffusion
     n_per = n_samples_per_class or sc.samples_per_class
@@ -81,8 +89,16 @@ def gen_samples(cfg: Config, ckpt_path: str,
     from diffusionmodel_tpu.parallel import make_mesh
 
     mesh = make_mesh()
-    sampler = make_sampler(model, cfg, sched, bool(batch_stats), n_sample,
-                           classes=gen_classes, mesh=mesh)
+    if sweep_one_batch is None:
+        sweep_one_batch = len(scales) > 1 and n_sample * len(scales) <= 48
+    if sweep_one_batch:
+        sweep_classes = jnp.tile(gen_classes, len(scales))
+        sampler = make_sampler(model, cfg, sched, bool(batch_stats),
+                               int(sweep_classes.shape[0]),
+                               classes=sweep_classes, mesh=mesh)
+    else:
+        sampler = make_sampler(model, cfg, sched, bool(batch_stats),
+                               n_sample, classes=gen_classes, mesh=mesh)
 
     out_dir = os.path.join(sc.sample_dir, f"samples_{int(time.time())}")
     os.makedirs(out_dir, exist_ok=True)
@@ -102,15 +118,30 @@ def gen_samples(cfg: Config, ckpt_path: str,
     key = jax.random.PRNGKey(seed)
     results: Dict = {}
     quality: Dict = {}
-    for w in scales:
+    sweep_gen = None
+    if sweep_one_batch:
         if verbose:
-            print(f"Generating samples with guidance scale {w}")
+            print(f"Generating all scales {scales} in ONE batch "
+                  f"({n_sample * len(scales)} slots, per-sample guide_w)")
         key, sub = jax.random.split(key)
+        gw = jnp.repeat(jnp.asarray(scales, jnp.float32), n_sample)
         t0 = time.time()
         with mesh:
-            x_gen = np.asarray(sampler(params, batch_stats, sub,
-                                       jnp.float32(w)))
-        dt = time.time() - t0
+            sweep_gen = np.asarray(sampler(params, batch_stats, sub, gw))
+        sweep_dt = time.time() - t0
+    for si, w in enumerate(scales):
+        if sweep_one_batch:
+            x_gen = sweep_gen[si * n_sample:(si + 1) * n_sample]
+            dt = sweep_dt / len(scales)
+        else:
+            if verbose:
+                print(f"Generating samples with guidance scale {w}")
+            key, sub = jax.random.split(key)
+            t0 = time.time()
+            with mesh:
+                x_gen = np.asarray(sampler(params, batch_stats, sub,
+                                           jnp.float32(w)))
+            dt = time.time() - t0
         grid_path = os.path.join(out_dir, f"samples_g{w}.png")
         save_samples(x_gen, grid_path, nrow=n_per, denorm=sc.denorm)
         for i in range(len(x_gen)):

@@ -174,3 +174,44 @@ def test_gen_samples_classes_block_ordered(tmp_path, monkeypatch):
     expect = np.repeat(np.arange(10), n_per)
     np.testing.assert_array_equal(captured["classes"], expect)
     assert os.path.isdir(res["out_dir"])
+
+
+def test_fit_resume_across_moment_dtypes(tmp_path):
+    """A checkpoint written with fp32 Adam moments must resume into a
+    bf16-moment (train.moment_dtype) run without error — the restore path
+    casts opt-state leaves to the fresh template's dtypes (round 3; the
+    353M flagship's round-2 checkpoints are fp32-moment)."""
+    import dataclasses
+    import glob as _glob
+
+    import jax
+    import jax.numpy as jnp
+
+    ds = MnistDataset(synthetic=True, n_synthetic=96)
+    base = preset(
+        "mnist",
+        **{
+            "model.n_feat": 8,
+            "diffusion.n_T": 8,
+            "train.batch_size": 16,
+            "train.n_epoch": 1,
+            "train.eval_every": 10,
+            "train.min_save_ep": 0,
+            "train.save_freq": 1,
+            "train.save_dir": str(tmp_path / "out"),
+            "train.eval_sample_count": 0,
+            "train.moment_dtype": "float32",
+        },
+    )
+    fit(base, dataset=ds, verbose=False)
+    ck = sorted(_glob.glob(os.path.join(base.train.save_dir, "ckpt_ep*")))[-1]
+
+    cfg2 = base.replace(train=dataclasses.replace(
+        base.train, n_epoch=2, moment_dtype="bfloat16"))
+    state = fit(cfg2, dataset=ds, verbose=False, resume=ck)
+    mus = [leaf for path, leaf in
+           jax.tree_util.tree_leaves_with_path(state.opt_state)
+           if any(getattr(p, "name", "") == "mu" for p in path)]
+    assert mus, "no mu leaves found in opt_state"
+    assert all(leaf.dtype == jnp.bfloat16 for leaf in
+               jax.tree.leaves(mus))
