@@ -187,6 +187,37 @@ def main() -> None:
     )
     vs_baseline = images_per_min / baseline_images_per_min
 
+    # measured-vs-measured anchor (BASELINE config 1): the reference's own
+    # MNIST script timed in torch on this host's CPU
+    # (benchmarks/bench_torch_baseline.py) against this framework's TPU
+    # number for the same config (benchmarks/bench_configs.py). These are
+    # MEASUREMENTS on the two platforms actually present in this
+    # environment — unlike the flagship's labeled GPU estimate above.
+    measured = {}
+    import os
+
+    try:
+        if os.path.exists("benchmarks/TORCH_BASELINE.json") and \
+                os.path.exists("benchmarks/CONFIGS.json"):
+            with open("benchmarks/TORCH_BASELINE.json") as f:
+                tb = json.load(f)
+            with open("benchmarks/CONFIGS.json") as f:
+                cfgs = json.load(f)
+            tpu_ips = cfgs["config1"]["images_per_sec"]
+            measured = {
+                "config1_tpu_images_per_sec": tpu_ips,
+                "config1_torch_cpu_images_per_sec_measured":
+                    tb["train_images_per_sec"],
+                "config1_vs_torch_cpu_measured": round(
+                    tpu_ips / tb["train_images_per_sec"], 1),
+            }
+            samp = cfgs["config1"].get("sample_images_per_min")
+            if samp and tb.get("sample_images_per_min"):
+                measured["config1_sample_vs_torch_cpu_measured"] = round(
+                    samp / tb["sample_images_per_min"], 1)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "cfg_sampler_images_per_min",
         "value": round(images_per_min, 3),
@@ -210,6 +241,7 @@ def main() -> None:
         "compile_plus_first_run_seconds": round(compile_and_first, 1),
         "flops_per_image_step": flops_per_image_step,
         "baseline_images_per_min_est": round(baseline_images_per_min, 3),
+        **measured,
     }))
 
 

@@ -66,13 +66,62 @@ def main() -> None:
     # config 1: MNIST (batch 256, fp32 like the reference's default)
     mnist = preset("mnist")
     best, comp, imgs = time_train_steps(mnist)
-    print(json.dumps({
+    rec = {
         "config": "mnist (BASELINE config 1, synthetic data)",
         "img_size": mnist.model.img_size, "batch": imgs,
         "opt_steps_per_sec": round(1.0 / best, 2),
         "images_per_sec": round(imgs / best, 1),
         "compile_s": round(comp, 1),
-    }), flush=True)
+    }
+    # measured-vs-measured anchor: the reference's OWN script timed on
+    # this host's CPU (benchmarks/bench_torch_baseline.py) — the only
+    # hardware the reference runs on here. Not a GPU estimate.
+    import os
+
+    tb_path = "benchmarks/TORCH_BASELINE.json"
+    if os.path.exists(tb_path):
+        with open(tb_path) as f:
+            tb = json.load(f)
+        rec["torch_cpu_images_per_sec_measured"] = tb["train_images_per_sec"]
+        rec["vs_torch_cpu_measured"] = round(
+            (imgs / best) / tb["train_images_per_sec"], 1)
+
+    # config-1 SAMPLING, the reference's own eval recipe: 40 images
+    # (4/class), 400-step ancestral CFG at w=2.0 (MNIST_script.py:354-357)
+    # — the apples-to-apples pair for TORCH_BASELINE's sample phase.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusionmodel_tpu.diffusion import Schedule
+    from diffusionmodel_tpu.nn import build_model
+    from diffusionmodel_tpu.trainer import make_sampler
+
+    model = build_model(mnist.model, mnist.diffusion.high_thresh)
+    sched = Schedule.create(mnist.diffusion.beta1, mnist.diffusion.beta2,
+                            mnist.diffusion.n_T)
+    x0 = jnp.zeros((2, 28, 28, 1))
+    v = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x0, jnp.zeros((2,), jnp.int32),
+        jnp.full((2,), 0.5), jnp.ones((2,)), attn_mask=None, train=False)
+    n_s = 40
+    sampler = make_sampler(model, mnist, sched, bool(v.get("batch_stats")),
+                           n_s, chunk=400)
+    bs = v.get("batch_stats", {})
+    np.asarray(sampler(v["params"], bs, jax.random.PRNGKey(1),
+                       jnp.float32(2.0)))  # compile + warm
+    best_s = float("inf")
+    for i in range(2):
+        t0 = time.time()
+        np.asarray(sampler(v["params"], bs, jax.random.PRNGKey(2 + i),
+                           jnp.float32(2.0)))
+        best_s = min(best_s, time.time() - t0)
+    rec["sample_images_per_min"] = round(n_s * 60.0 / best_s, 1)
+    rec["sample_n"] = n_s
+    if os.path.exists(tb_path) and tb.get("sample_images_per_min"):
+        rec["sample_vs_torch_cpu_measured"] = round(
+            rec["sample_images_per_min"] / tb["sample_images_per_min"], 1)
+    print(json.dumps(rec), flush=True)
 
     # config 2: scripy_old v1 arch, full size, bf16+remat memory recipe
     old = preset("old", **{
@@ -80,13 +129,16 @@ def main() -> None:
         "train.batch_size": 1, "train.accum_steps": 4,
     })
     best, comp, imgs = time_train_steps(old)
-    print(json.dumps({
+    rec2 = {
         "config": "scripy_old v1 (BASELINE config 2)",
         "img_size": old.model.img_size, "batch": imgs,
         "opt_steps_per_sec": round(1.0 / best, 3),
         "images_per_sec": round(imgs / best, 2),
         "compile_s": round(comp, 1),
-    }), flush=True)
+    }
+    print(json.dumps(rec2), flush=True)
+    with open("benchmarks/CONFIGS.json", "w") as f:
+        json.dump({"config1": rec, "config2": rec2}, f, indent=2)
 
 
 if __name__ == "__main__":
