@@ -222,15 +222,22 @@ def convert_sd_autoencoder(sd: Dict[str, np.ndarray],
     return m.params, m.missing
 
 
-def load_sd_checkpoint(path: str, **arch_kw):
-    """torch sd-v1-*.ckpt -> (unet_params, vae_params, missing_keys)."""
+def load_sd_checkpoint(path: str, ae_mults=(1, 2, 4, 4),
+                       ae_n_resnet: int = 2, **unet_kw):
+    """torch sd-v1-*.ckpt -> (unet_params, vae_params, missing_keys).
+
+    ``unet_kw`` forwards to :func:`convert_sd_unet`
+    (channel_multipliers / attention_levels / n_res_blocks) and
+    ``ae_mults``/``ae_n_resnet`` to :func:`convert_sd_autoencoder`, so
+    non-SD-v1 architectures (e.g. the CLI's tiny smoke arch) load from
+    matching-layout checkpoints too."""
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
     sd = raw.get("state_dict", raw)
     sd = {k: v.detach().cpu().numpy() for k, v in sd.items()
           if hasattr(v, "detach")}
-    unet, miss_u = convert_sd_unet(sd, **{k: v for k, v in arch_kw.items()
-                                          if k != "ch_mults"})
-    vae, miss_v = convert_sd_autoencoder(sd)
+    unet, miss_u = convert_sd_unet(sd, **unet_kw)
+    vae, miss_v = convert_sd_autoencoder(sd, ch_mults=ae_mults,
+                                         n_resnet=ae_n_resnet)
     return unet, vae, miss_u + miss_v

@@ -54,9 +54,11 @@ ARCHS = {
     "sd": dict(channels=320, channel_multipliers=(1, 2, 4, 4),
                attention_levels=(0, 1, 2), n_heads=8, d_cond=768,
                ae_channels=128, ae_mults=(1, 2, 4, 4)),
+    # ae_mults must span 4 levels: the pipelines sample latents at
+    # (h/8, w/8) — the SD f=8 VAE contract (3 downsamples).
     "tiny": dict(channels=32, channel_multipliers=(1, 2), n_res_blocks=1,
                  attention_levels=(0,), n_heads=2, d_cond=64,
-                 ae_channels=32, ae_mults=(1, 2)),
+                 ae_channels=32, ae_mults=(1, 1, 2, 2)),
 }
 
 
@@ -100,7 +102,11 @@ class LdmRunner:
             from diffusionmodel_tpu.compat.sd_convert import load_sd_checkpoint
 
             self.params, self.ae_params, missing = load_sd_checkpoint(
-                sd_ckpt)
+                sd_ckpt,
+                ae_mults=ae_mults,
+                channel_multipliers=a["channel_multipliers"],
+                attention_levels=a["attention_levels"],
+                n_res_blocks=a.get("n_res_blocks", 2))
             if verbose:
                 print(f"Loaded SD checkpoint: {sd_ckpt}"
                       + (f" ({len(missing)} keys missing; non-strict like "

@@ -190,6 +190,14 @@ class SamplerService:
         self._run = run
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
+        # observability: filled under the worker thread only; read-mostly
+        # from /healthz and tests. slot_occupancy = slots actually used /
+        # slots dispatched — the cross-request batching efficiency.
+        self.stats = {
+            "requests": 0, "images": 0, "batches": 0,
+            "slots_used": 0, "slots_dispatched": 0,
+            "pinned_batches": 0, "busy_seconds": 0.0,
+        }
         self._worker = threading.Thread(target=self._serve, daemon=True)
         self._worker.start()
 
@@ -298,8 +306,18 @@ class SamplerService:
                     off += len(r.classes)
                 key = (jax.random.PRNGKey(req.seed)
                        if req.seed is not None else self._next_key())
+                t_run = time.monotonic()
                 imgs = np.asarray(self._run(
                     key, jnp.asarray(flat), jnp.asarray(gw)))
+                st = self.stats
+                st["busy_seconds"] += time.monotonic() - t_run
+                st["batches"] += 1
+                st["requests"] += len(batch)
+                st["images"] += slots
+                st["slots_used"] += slots
+                st["slots_dispatched"] += self.max_batch
+                if req.seed is not None:
+                    st["pinned_batches"] += 1
                 off = 0
                 for r in batch:
                     r.future.set_result(imgs[off:off + len(r.classes)])
@@ -345,8 +363,13 @@ def make_http_server(service: SamplerService, host: str = "0.0.0.0",
 
         def do_GET(self):
             if self.path == "/healthz":
+                st = dict(service.stats)
+                occ = (st["slots_used"] / st["slots_dispatched"]
+                       if st["slots_dispatched"] else None)
                 self._send(200, {"status": "ok", "classes": names,
-                                 "max_batch": service.max_batch})
+                                 "max_batch": service.max_batch,
+                                 "stats": st,
+                                 "slot_occupancy": occ})
             else:
                 self._send(404, {"error": "not found"})
 

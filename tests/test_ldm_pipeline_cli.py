@@ -83,3 +83,62 @@ def test_runner_prompt_hash_cond_deterministic():
     assert a.shape == (2, 77, 16)
     np.testing.assert_array_equal(a[0], _hash_embedding(["hello"], 16)[0])
     assert np.abs(a[1] - b[1]).max() > 0.1  # different prompts differ
+
+
+def test_runner_loads_sd_layout_checkpoint(tmp_path):
+    """Full path: SD-layout .ckpt file -> converter -> LdmRunner ->
+    txt2img image. Weights are a fabricated tiny-arch checkpoint (no real
+    SD weights in this zero-egress image); bijectivity of the mapping
+    itself is covered by test_sd_convert."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from diffusionmodel_tpu.compat.sd_convert import (
+        convert_sd_autoencoder,
+        convert_sd_unet,
+    )
+    from diffusionmodel_tpu.models.latent_diffusion.runner import (
+        ARCHS,
+        LdmRunner,
+    )
+    from tests.test_sd_convert import _fabricate
+
+    a = dict(ARCHS["tiny"])
+    ae_mults = a.pop("ae_mults")
+    ae_ch = a.pop("ae_channels")
+
+    from diffusionmodel_tpu.models.latent_diffusion import (
+        Autoencoder,
+        UNetModel,
+    )
+
+    unet = UNetModel(use_flash=False, **a)
+    uvars = unet.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 4)),
+                      jnp.zeros((1,)), jnp.zeros((1, 7, a["d_cond"])))
+    ae = Autoencoder(channels=ae_ch, ch_mults=ae_mults, z_channels=4,
+                     emb_channels=4)
+    avars = ae.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)),
+                    jax.random.PRNGKey(3))
+
+    urules = convert_sd_unet(
+        {}, channel_multipliers=a["channel_multipliers"],
+        attention_levels=a["attention_levels"],
+        n_res_blocks=a["n_res_blocks"], _record=True)
+    arules = convert_sd_autoencoder({}, ch_mults=ae_mults, _record=True)
+    sd = _fabricate(uvars["params"], urules, "model.diffusion_model.")
+    sd.update(_fabricate(avars["params"], arules, "first_stage_model."))
+    ck = tmp_path / "tiny_sd.ckpt"
+    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v))
+                               for k, v in sd.items()}}, ck)
+
+    runner = LdmRunner(sd_ckpt=str(ck), arch="tiny", use_flash=False,
+                       steps=4, verbose=False)
+    # loaded weights must equal the fabrication source
+    np.testing.assert_allclose(
+        np.asarray(runner.params["time_0"]["kernel"]),
+        np.asarray(uvars["params"]["time_0"]["kernel"]))
+    out = runner.txt2img("hello", batch_size=1, h=64, w=64,
+                         uncond_scale=2.0)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()

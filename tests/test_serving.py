@@ -179,3 +179,45 @@ def test_http_server_roundtrip(tiny):
     finally:
         httpd.shutdown()
         svc.close()
+
+
+def test_stats_and_http_validation(tiny):
+    """Serving observability counters + HTTP 400 for invalid classes."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from diffusionmodel_tpu.serving import make_http_server
+
+    cfg, model, sched, params = tiny
+    svc = SamplerService(model, cfg, sched, params, max_batch=4,
+                         sampler="ddim")
+    httpd = make_http_server(svc, port=0, class_names=["a", "b", "c"])
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        svc.generate([0, 1], guide_w=2.0)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            h = _json.loads(r.read())
+        assert h["stats"]["requests"] >= 1
+        assert h["stats"]["images"] >= 2
+        assert h["stats"]["batches"] >= 1
+        assert 0 < h["slot_occupancy"] <= 1
+        assert h["stats"]["busy_seconds"] > 0
+
+        # invalid classes -> 400, never a silently-wrong-class 200
+        for bad in ([7], ["zebra"], [-1]):
+            body = _json.dumps({"classes": bad}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                raise AssertionError(f"classes={bad} should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        httpd.shutdown()
+        svc.close()
