@@ -313,16 +313,39 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
         batch_stats=jax.tree.map(lambda _: replicated(mesh), state.batch_stats),
         opt_state=jax.tree.map(lambda _: replicated(mesh), state.opt_state),
     )
-    bshard = {
-        "x": batch_sharding(mesh, 5, 1),
-        "c": batch_sharding(mesh, 2, 1),
-        "mask": batch_sharding(mesh, 4, 1),
-    }
-    vshard = {
-        "x": batch_sharding(mesh, 4, 0),
-        "c": batch_sharding(mesh, 1, 0),
-        "mask": batch_sharding(mesh, 3, 0),
-    }
+    # Batch layout: micro-batch over 'data'; with mesh_spatial > 1 (and a
+    # model carrying constrain_spatial hooks) the image H axis additionally
+    # shards over 'spatial' — the data x spatial TRAIN layout certified by
+    # __graft_entry__.dryrun_multichip (GSPMD conv halo exchange + psum'd
+    # pooled stats; loss matches single-device to fp32 tolerance).
+    use_spatial_batches = (
+        dict(mesh.shape).get("spatial", 1) > 1
+        and mc.img_size % mesh.shape["spatial"] == 0
+        and getattr(model, "spatial_shards", 0) > 0)
+    if use_spatial_batches:
+        from diffusionmodel_tpu.parallel import image_sharding
+
+        bshard = {
+            "x": image_sharding(mesh, 5, batch_axis=1, h_axis=2),
+            "c": batch_sharding(mesh, 2, 1),
+            "mask": image_sharding(mesh, 4, batch_axis=1, h_axis=2),
+        }
+        vshard = {
+            "x": image_sharding(mesh, 4, batch_axis=0, h_axis=1),
+            "c": batch_sharding(mesh, 1, 0),
+            "mask": image_sharding(mesh, 3, batch_axis=0, h_axis=1),
+        }
+    else:
+        bshard = {
+            "x": batch_sharding(mesh, 5, 1),
+            "c": batch_sharding(mesh, 2, 1),
+            "mask": batch_sharding(mesh, 4, 1),
+        }
+        vshard = {
+            "x": batch_sharding(mesh, 4, 0),
+            "c": batch_sharding(mesh, 1, 0),
+            "mask": batch_sharding(mesh, 3, 0),
+        }
     jstep = jax.jit(step_fn, in_shardings=(state_shard, bshard, replicated(mesh)),
                     donate_argnums=(0,))
     jeval = jax.jit(eval_fn, in_shardings=(state_shard, vshard, replicated(mesh)))

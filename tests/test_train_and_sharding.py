@@ -386,3 +386,33 @@ def test_wire_format_disabled_for_custom_mask_values():
     assert not _wire_format_ok(
         SimpleNamespace(mask_values=(0.5, 1.0, 1.5)), dc)
     assert _wire_format_ok(SimpleNamespace(), dc)  # no attr: config rules
+
+
+def test_fit_spatial_train_batches_match_plain(tmp_path):
+    """With mesh_spatial > 1 fit() shards the TRAIN batch H axis over
+    'spatial' (round 3); the epoch losses must match a plain 1x1x1-mesh
+    run of the same seeds/data to fp32 reduction tolerance."""
+    import json as _json
+
+    from diffusionmodel_tpu.data import SyntheticImageDataset
+    from diffusionmodel_tpu.trainer import fit
+
+    def run(tag, data, model_ax, spatial):
+        cfg = preset("full", **{
+            "model.n_feat": 8, "model.img_size": 32, "diffusion.n_T": 4,
+            "train.batch_size": 2, "train.accum_steps": 2,
+            "train.n_epoch": 1,
+            "train.mesh_data": data, "train.mesh_model": model_ax,
+            "train.mesh_spatial": spatial,
+            "train.eval_sample_count": 0, "train.min_save_ep": 100,
+            "train.save_freq": 100,
+            "train.save_dir": str(tmp_path / tag),
+        })
+        ds = SyntheticImageDataset(n=16, img_size=32, n_classes=2)
+        fit(cfg, dataset=ds, verbose=False)
+        mf = sorted((tmp_path / tag / "metrics").glob("metrics_ep*.json"))
+        return _json.load(open(mf[-1]))["train_loss"][-1]
+
+    plain = run("plain", 1, 1, 1)
+    dpsp = run("dpsp", 2, 1, 4)  # data x spatial over all 8 devices
+    assert abs(plain - dpsp) < 1e-4 * max(1.0, abs(plain)), (plain, dpsp)
