@@ -79,6 +79,7 @@ def main() -> None:
     import os
 
     tb_path = "benchmarks/TORCH_BASELINE.json"
+    tb = None
     if os.path.exists(tb_path):
         with open(tb_path) as f:
             tb = json.load(f)
@@ -118,7 +119,7 @@ def main() -> None:
         best_s = min(best_s, time.time() - t0)
     rec["sample_images_per_min"] = round(n_s * 60.0 / best_s, 1)
     rec["sample_n"] = n_s
-    if os.path.exists(tb_path) and tb.get("sample_images_per_min"):
+    if tb is not None and tb.get("sample_images_per_min"):
         rec["sample_vs_torch_cpu_measured"] = round(
             rec["sample_images_per_min"] / tb["sample_images_per_min"], 1)
     print(json.dumps(rec), flush=True)

@@ -221,26 +221,39 @@ def main() -> None:
 
     entry = gates.setdefault(str(label), {})
     entry["ckpt"] = args.ckpt
+    rounds = -(-n_per // chunk_pc)  # ceil: never silently under-generate
     for w in args.scales:
         t0 = time.time()
         gens = []
-        for r in range(max(1, n_per // chunk_pc)):
+        for r in range(rounds):
             key = jax.random.PRNGKey(123 + 1000 * r)
             gens.append(np.asarray(
                 sampler(params, {}, key, jnp.float32(w))))
         gen = np.concatenate(gens)  # grouped per chunk: class-major inside
         secs = time.time() - t0
-        # reorder to class-major overall to pair with real_cls
-        cls = np.tile(np.repeat(np.arange(n_classes), chunk_pc),
-                      max(1, n_per // chunk_pc))
+        # reorder to class-major overall, trim each class block to
+        # exactly n_per (rounds * chunk_pc may exceed it)
+        cls = np.tile(np.repeat(np.arange(n_classes), chunk_pc), rounds)
         order = np.argsort(cls, kind="stable")
         gen = gen[order]
+        per_block = chunk_pc * rounds
+        gen = np.concatenate([
+            gen[c * per_block:c * per_block + n_per]
+            for c in range(n_classes)])
+        gen_cls = np.repeat(np.arange(n_classes), n_per)
         gf = metrics.extract_features(gen)
-        n_pair = min(len(gen), len(real_imgs))
-        ssim = float(np.mean([calc_ssim(r_, g_) for r_, g_ in
-                              zip(real_imgs[:n_pair], gen[:n_pair])]))
-        psnr = float(np.mean([calc_psnr(r_, g_) for r_, g_ in
-                              zip(real_imgs[:n_pair], gen[:n_pair])]))
+        # SSIM/PSNR over CLASS-ALIGNED pairs only (a class with fewer
+        # than n_per real crops pairs just its available count — never
+        # crossing class boundaries)
+        pairs = []
+        rc_arr = np.asarray(real_cls)
+        for c in range(n_classes):
+            rc = real_imgs[rc_arr == c]
+            gc = gen[gen_cls == c]
+            m = min(len(rc), len(gc))
+            pairs.extend(zip(rc[:m], gc[:m]))
+        ssim = float(np.mean([calc_ssim(r_, g_) for r_, g_ in pairs]))
+        psnr = float(np.mean([calc_psnr(r_, g_) for r_, g_ in pairs]))
         rec = {
             "n_gen": int(len(gen)),
             "fid_proxy_vs_full_real": round(fid_from_feats(rf_all, gf, np), 4),

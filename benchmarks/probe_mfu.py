@@ -105,28 +105,49 @@ def main() -> None:
         print(json.dumps(run_variant(args.variant)), flush=True)
         return
 
+    # merge with any existing record (by variant name) and write after
+    # EVERY variant — a crash, timeout, or partial re-run must never
+    # clobber hours of committed measurements.
     results = []
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except Exception:
+            results = []
+
+    def upsert(rec):
+        nonlocal results
+        results = [r for r in results if r.get("variant") != rec["variant"]]
+        results.append(rec)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
     skip_mb2r0 = False
     for name in ("mb1r0", "mb2r0", "mb2r1", "mb1r1"):
         if name == "mb2r0" and skip_mb2r0:
-            results.append({"variant": name, "skipped": "mb1r0 OOMed"})
+            upsert({"variant": name, "skipped": "mb1r0 OOMed"})
             continue
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--variant", name],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            capture_output=True, text=True, timeout=3600)
-        line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--variant", name],
+                cwd=os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True, timeout=3600)
+            line = (p.stdout.strip().splitlines()[-1]
+                    if p.stdout.strip() else "")
+            rc, err = p.returncode, (p.stderr or "")[-2000:]
+        except subprocess.TimeoutExpired:
+            line, rc, err = "", -1, "timeout after 3600s"
         try:
             rec = json.loads(line)
         except Exception:
-            rec = {"variant": name, "rc": p.returncode,
-                   "error": (p.stderr or "")[-2000:]}
+            rec = {"variant": name, "rc": rc, "error": err}
             if name == "mb1r0":
                 skip_mb2r0 = True
-        results.append(rec)
+        upsert(rec)
         print(json.dumps(rec), flush=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

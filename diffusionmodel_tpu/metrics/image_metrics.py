@@ -114,7 +114,12 @@ def _default_feature_fn():
             he, variables["params"]),
         "batch_stats": variables.get("batch_stats", {}),
     }
-    return jax.jit(lambda x: model.apply(variables, x))
+    # variables are a jit ARGUMENT, not a closure: closing over the ~24M
+    # Inception params would embed ~95MB of constants in the program —
+    # this environment's remote-compile service rejects such payloads
+    # (CLAUDE.md: HTTP 413), and every new batch shape would re-ship them.
+    feat = jax.jit(model.apply)
+    return lambda x: feat(variables, x)
 
 
 class ImageMetrics:

@@ -143,7 +143,9 @@ class LdmRunner:
 
         self.model = LatentDiffusion(eps_fn, encode_fn, decode_fn)
         self.embedder = None
-        if use_clip:
+        # CLIP-large emits 768-d embeddings — only the SD-sized d_cond can
+        # consume them; smaller archs always use the hash fallback.
+        if use_clip and self.d_cond == 768:
             try:
                 from diffusionmodel_tpu.models.latent_diffusion.latent_diffusion import (  # noqa: E501
                     CLIPTextEmbedder,
@@ -177,10 +179,14 @@ class LdmRunner:
         """prompt -> [B, h, w, 3] images in [-1, 1]
         (scripts/text_to_image.py:57-101)."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        pipe = Txt2Img(self.model, sampler=self.sampler_name,
-                       n_steps=self.steps, ddim_eta=self.ddim_eta)
 
         def build():
+            # pipeline objects (and their sampler schedule arrays) are only
+            # needed at trace time — construct inside build() so cache
+            # hits skip them entirely.
+            pipe = Txt2Img(self.model, sampler=self.sampler_name,
+                           n_steps=self.steps, ddim_eta=self.ddim_eta)
+
             def run(params, aparams, key, cond, uncond):
                 self._P[0], self._A[0] = params, aparams
                 return pipe(key, cond=cond, batch_size=batch_size, h=h,
@@ -202,10 +208,11 @@ class LdmRunner:
         (scripts/image_to_image.py:55-92)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         batch = int(orig_img.shape[0])
-        pipe = Img2Img(self.model, n_steps=self.steps,
-                       ddim_eta=self.ddim_eta)
 
         def build():
+            pipe = Img2Img(self.model, n_steps=self.steps,
+                           ddim_eta=self.ddim_eta)
+
             def run(params, aparams, key, img, cond, uncond):
                 self._P[0], self._A[0] = params, aparams
                 return pipe(key, img, cond=cond, strength=strength,
@@ -230,23 +237,37 @@ class LdmRunner:
         keep-mask (1 = keep original)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         batch = int(orig_img.shape[0])
-        pipe = InPaint(self.model, n_steps=self.steps,
-                       ddim_eta=self.ddim_eta)
-        margs = (None if mask is None else jnp.asarray(mask),)
+        has_mask = mask is not None
 
         def build():
-            def run(params, aparams, key, img, cond, uncond):
-                self._P[0], self._A[0] = params, aparams
-                return pipe(key, img, cond=cond, mask=margs[0],
-                            strength=strength, uncond_scale=uncond_scale,
-                            uncond=uncond)
+            pipe = InPaint(self.model, n_steps=self.steps,
+                           ddim_eta=self.ddim_eta)
+
+            if has_mask:
+                # mask rides as a TRACED argument — baking it as a closure
+                # constant would make a second call with a different mask
+                # silently cache-hit the first one's program.
+                def run(params, aparams, key, img, cond, uncond, m):
+                    self._P[0], self._A[0] = params, aparams
+                    return pipe(key, img, cond=cond, mask=m,
+                                strength=strength,
+                                uncond_scale=uncond_scale, uncond=uncond)
+            else:
+                def run(params, aparams, key, img, cond, uncond):
+                    self._P[0], self._A[0] = params, aparams
+                    return pipe(key, img, cond=cond, mask=None,
+                                strength=strength,
+                                uncond_scale=uncond_scale, uncond=uncond)
 
             return run
 
         jrun = self._jit(("inpaint", batch, orig_img.shape[1],
                           orig_img.shape[2], strength, uncond_scale,
-                          self.steps, mask is None), build)
+                          self.steps, has_mask), build)
         cond = self.cond([prompt] * batch)
         uncond = self.cond([""] * batch)
-        return np.asarray(jrun(self.params, self.ae_params, key,
-                               jnp.asarray(orig_img), cond, uncond))
+        args = (self.params, self.ae_params, key, jnp.asarray(orig_img),
+                cond, uncond)
+        if has_mask:
+            args += (jnp.asarray(mask),)
+        return np.asarray(jrun(*args))

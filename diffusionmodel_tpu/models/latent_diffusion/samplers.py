@@ -38,10 +38,17 @@ class DDIMSampler:
         T = model.n_steps
         if discretize == "uniform":
             c = T // n_steps
-            self.time_steps = np.asarray(list(range(0, T, c))) + 1
+            # reference construction (ddim.py:44-46). For n_steps that do
+            # not divide T, range(0, T, c) emits an EXTRA step and its +1
+            # lands at tau == T — out of bounds for alpha_bar[T-1 max]
+            # (latent in the reference, which only ever uses divisors);
+            # truncate to n_steps and clamp into range.
+            self.time_steps = np.minimum(
+                np.asarray(list(range(0, T, c))[:n_steps]) + 1, T - 1)
         elif discretize == "quad":
-            self.time_steps = ((np.linspace(0, np.sqrt(T * 0.8), n_steps)) ** 2
-                               ).astype(int) + 1
+            self.time_steps = np.minimum(
+                ((np.linspace(0, np.sqrt(T * 0.8), n_steps)) ** 2
+                 ).astype(int) + 1, T - 1)
         else:
             raise ValueError(discretize)
         ab = np.asarray(model.sched.alpha_bar)

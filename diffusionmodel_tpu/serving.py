@@ -194,7 +194,7 @@ class SamplerService:
         # from /healthz and tests. slot_occupancy = slots actually used /
         # slots dispatched — the cross-request batching efficiency.
         self.stats = {
-            "requests": 0, "images": 0, "batches": 0,
+            "requests": 0, "batches": 0,
             "slots_used": 0, "slots_dispatched": 0,
             "pinned_batches": 0, "busy_seconds": 0.0,
         }
@@ -313,8 +313,7 @@ class SamplerService:
                 st["busy_seconds"] += time.monotonic() - t_run
                 st["batches"] += 1
                 st["requests"] += len(batch)
-                st["images"] += slots
-                st["slots_used"] += slots
+                st["slots_used"] += slots  # == images generated
                 st["slots_dispatched"] += self.max_batch
                 if req.seed is not None:
                     st["pinned_batches"] += 1
@@ -364,6 +363,7 @@ def make_http_server(service: SamplerService, host: str = "0.0.0.0",
         def do_GET(self):
             if self.path == "/healthz":
                 st = dict(service.stats)
+                st["images"] = st["slots_used"]  # alias for API readers
                 occ = (st["slots_used"] / st["slots_dispatched"]
                        if st["slots_dispatched"] else None)
                 self._send(200, {"status": "ok", "classes": names,

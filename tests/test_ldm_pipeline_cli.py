@@ -142,3 +142,27 @@ def test_runner_loads_sd_layout_checkpoint(tmp_path):
                          uncond_scale=2.0)
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(out).all()
+
+
+def test_inpaint_distinct_masks_not_cache_confused():
+    """Two inpaint calls with different masks (same shapes) must paint
+    differently — the mask is a traced argument, not a program constant
+    keyed only on `mask is None` (round-3 review finding)."""
+    import jax
+
+    from diffusionmodel_tpu.models.latent_diffusion.runner import LdmRunner
+
+    runner = LdmRunner(arch="tiny", use_flash=False, steps=3,
+                       verbose=False)
+    img = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    img = img * 2 - 1
+    z_shape = (1, 8, 8, 4)
+    m_top = np.zeros(z_shape, np.float32)
+    m_top[:, : z_shape[1] // 2] = 1.0  # keep TOP half
+    m_bot = np.zeros(z_shape, np.float32)
+    m_bot[:, z_shape[1] // 2:] = 1.0  # keep BOTTOM half
+    key = jax.random.PRNGKey(5)
+    a = runner.inpaint(img, "x", mask=m_top, key=key)
+    b = runner.inpaint(img, "x", mask=m_bot, key=key)
+    assert a.shape == b.shape == (1, 64, 64, 3)
+    assert np.abs(a - b).max() > 1e-3
