@@ -17,6 +17,16 @@ run. patience is set high so the full schedule executes; the gate judges
 quality, not the val plateau.
 
 Usage: python benchmarks/train_flagship.py [--epochs 200] [--resume PATH]
+
+Anneal leg (round 3): the reference SGDR schedule restarts at epoch 150
+(cycles 10/30/70/150/310), so checkpoints at 180/199 sample at LR~0.9e-4
+mid-cycle and gate far worse than epoch 120 (QUALITY.json). To finish the
+run at a converged point without simulating the full 310-epoch cycle,
+resume ckpt_ep199 with a constant LR at the schedule's own eta_min:
+
+  python benchmarks/train_flagship.py --epochs 240 \
+      --resume ./output/bench_quality/ckpt_ep199 \
+      --lr 3e-5 --lr-schedule none --save-freq 40
 """
 
 from __future__ import annotations
@@ -36,6 +46,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--resume", default=os.path.join(OUT_DIR, "ckpt_ep59"))
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--lr-schedule", default=None,
+                    help="override train.lr_schedule (e.g. 'none' for the anneal leg)")
+    ap.add_argument("--save-freq", type=int, default=60)
     args = ap.parse_args()
 
     from benchmarks.bench_quality import ensure_crops
@@ -43,16 +57,21 @@ def main() -> None:
     from diffusionmodel_tpu.trainer import fit
 
     root = ensure_crops()
-    cfg = preset("full", **{
+    overrides = {
         "model.dtype": "bfloat16",
         "train.batch_size": 1, "train.accum_steps": 4,
         "train.remat": False,            # fits with bf16 mu; +20% steps/s
         "train.n_epoch": args.epochs,
         "train.eval_sample_count": 0,    # gates run out-of-loop
-        "train.min_save_ep": 0, "train.save_freq": 60,
+        "train.min_save_ep": 0, "train.save_freq": args.save_freq,
         "train.patience": 10_000,
         "train.save_dir": OUT_DIR,
-    })
+    }
+    if args.lr is not None:
+        overrides["train.lr"] = args.lr
+    if args.lr_schedule is not None:
+        overrides["train.lr_schedule"] = args.lr_schedule
+    cfg = preset("full", **overrides)
     cfg = cfg.replace(data_root=root)
 
     t0 = time.time()
