@@ -33,7 +33,7 @@ def _to_host(tree):
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:
     """Save a checkpoint directory (orbax) or pickle file (path endswith .pkl)."""
     payload = dict(payload)
-    for k in ("params", "batch_stats", "opt_state"):
+    for k in ("params", "batch_stats", "opt_state", "ema_params"):
         if k in payload and payload[k] is not None:
             payload[k] = _to_host(payload[k])
     if path.endswith(".pkl"):
@@ -81,16 +81,23 @@ def load_checkpoint(path: str, arch: Optional[str] = None,
     return ckptr.restore(os.path.abspath(path))
 
 
-def extract_params(ckpt: Dict[str, Any]) -> Any:
+def extract_params(ckpt: Dict[str, Any], prefer_ema: bool = True) -> Any:
     """Accept {params: ...} (full), {'model_state_dict': ...} (converted
     torch layout), or a bare params tree — mirroring the reference's
-    fallback chain (new_scripy.py:975-990)."""
+    fallback chain (new_scripy.py:975-990).
+
+    When the checkpoint carries an EMA shadow tree (train.ema_decay > 0
+    runs), ``prefer_ema`` returns it instead of the live params — EMA
+    exists to be sampled from. Pass False for the raw training params
+    (resume does, so optimization continues from the live weights)."""
     if isinstance(ckpt, dict):
         if "torch_state_dict" in ckpt:
             raise ValueError(
                 "torch .pt checkpoint was loaded without an arch — pass "
                 "arch/norm (from the ModelConfig) to load_checkpoint so the "
                 "state dict is converted to flax params")
+        if prefer_ema and ckpt.get("ema_params") is not None:
+            return ckpt["ema_params"]
         if "params" in ckpt:
             return ckpt["params"]
         if "model_state_dict" in ckpt:

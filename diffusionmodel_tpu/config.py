@@ -141,6 +141,14 @@ class TrainConfig:
     profile_dir: str = ""
     profile_epoch: int = 1
     debug_nans: bool = False
+    # Exponential moving average of params (beyond-reference extra; the
+    # reference samples from the live training params, so 0.0 = off is the
+    # parity default). >0 (e.g. 0.9995) maintains a shadow param tree
+    # updated in-graph each optimizer step with warmup
+    # min(ema_decay, (1+step)/(10+step)); checkpoints carry it and
+    # sampling/eval prefer it — standard DDPM practice (Ho et al. use
+    # 0.9999) that markedly improves sample quality at convergence.
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

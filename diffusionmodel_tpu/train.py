@@ -36,6 +36,9 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     batch_stats: Any  # empty dict when the model has no BatchNorm
     opt_state: Any
+    # Shadow EMA of params (train.ema_decay > 0), else None. None is an
+    # empty pytree, so ema-off states trace/donate exactly as before.
+    ema_params: Any = None
 
 
 def build_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
@@ -90,6 +93,8 @@ def create_train_state(model, cfg: Config, key, steps_per_epoch: int,
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        ema_params=(jax.tree.map(jnp.array, params)
+                    if cfg.train.ema_decay > 0 else None),
     )
     return state, tx
 
@@ -187,9 +192,21 @@ def make_train_step(model, sched: Schedule, cfg: Config,
         grads = jax.tree.map(lambda g: g / a, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            # Warmed-up decay (Ho et al. convention): early steps track the
+            # params closely, converging to ema_decay. fp32 lerp regardless
+            # of param storage dtype, cast back for storage.
+            d = jnp.minimum(cfg.train.ema_decay,
+                            (1.0 + state.step) / (10.0 + state.step))
+            new_ema = jax.tree.map(
+                lambda e, p: (e.astype(jnp.float32) * d
+                              + p.astype(jnp.float32) * (1.0 - d)
+                              ).astype(e.dtype),
+                new_ema, new_params)
         new_state = state.replace(
             step=state.step + 1, params=new_params, batch_stats=new_bs,
-            opt_state=new_opt,
+            opt_state=new_opt, ema_params=new_ema,
         )
         return new_state, loss_sum / a
 
@@ -240,6 +257,9 @@ class EarlyStop:
                 "batch_stats": jax.device_get(state.batch_stats),
                 "val_loss": val_loss,
             }
+            if state.ema_params is not None:
+                self.best_state["ema_params"] = jax.device_get(
+                    state.ema_params)
             if self.verbose:
                 print(f"Val loss improved to {val_loss:.6f}")
             return True

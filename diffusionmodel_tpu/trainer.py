@@ -275,7 +275,15 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
         from diffusionmodel_tpu.checkpoint import extract_params, load_checkpoint
 
         ckpt = load_checkpoint(resume, arch=mc.arch, norm=mc.norm)
-        state = state.replace(params=extract_params(ckpt))
+        # prefer_ema=False: optimization must continue from the LIVE
+        # weights; the EMA shadow is restored separately below.
+        state = state.replace(params=extract_params(ckpt, prefer_ema=False))
+        if state.ema_params is not None:
+            # ema-on run: restore the shadow, or seed it from the restored
+            # params when resuming an ema-less checkpoint.
+            ema = ckpt.get("ema_params") if isinstance(ckpt, dict) else None
+            state = state.replace(ema_params=ema if ema is not None
+                                  else jax.tree.map(jnp.array, state.params))
         if isinstance(ckpt, dict):
             if ckpt.get("batch_stats"):
                 state = state.replace(batch_stats=ckpt["batch_stats"])
@@ -312,6 +320,7 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
         step=replicated(mesh), params=p_shard,
         batch_stats=jax.tree.map(lambda _: replicated(mesh), state.batch_stats),
         opt_state=jax.tree.map(lambda _: replicated(mesh), state.opt_state),
+        ema_params=p_shard if state.ema_params is not None else None,
     )
     # Batch layout: micro-batch over 'data'; with mesh_spatial > 1 (and a
     # model carrying constrain_spatial hooks) the image H axis additionally
@@ -375,19 +384,40 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     img_metrics = metrics_impl if metrics_impl is not None else ImageMetrics()
 
     early_stop = EarlyStop(tc.patience, tc.min_delta, verbose=verbose)
+    # A resumed run must not clobber an existing best_model with a
+    # worse-val state just because its EarlyStop baseline restarts at inf:
+    # seed the baseline from the sidecar written alongside best_model.
+    best_sidecar = os.path.join(tc.save_dir, "best_val.json")
+    if resume and os.path.exists(best_sidecar):
+        try:
+            with open(best_sidecar) as f:
+                prev_best = json.load(f)
+            early_stop.best_loss = float(prev_best["val_loss"])
+            if verbose:
+                print(f"EarlyStop baseline from existing best_model: "
+                      f"{early_stop.best_loss:.6f} "
+                      f"(epoch {prev_best.get('epoch')})")
+        except Exception as e:
+            print(f"best_val sidecar ignored: {e}")
     lr_schedule_fn = build_schedule(
         tc.lr_schedule, tc.lr, steps_per_epoch, n_epoch=tc.n_epoch,
         t0=tc.sgdr_t0, t_mult=tc.sgdr_t_mult, eta_min=tc.sgdr_eta_min)
 
     def save_ckpt(state, epoch, loss, is_best=False):
         name = "best_model" if is_best else f"ckpt_ep{epoch}"
-        path = save_checkpoint(os.path.join(tc.save_dir, name), {
+        payload = {
             "epoch": epoch,
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "loss": float(loss),
-        })
+        }
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
+        path = save_checkpoint(os.path.join(tc.save_dir, name), payload)
+        if is_best:
+            with open(best_sidecar, "w") as f:
+                json.dump({"epoch": epoch, "val_loss": float(loss)}, f)
         if verbose:
             print(f"Saved {'best ' if is_best else ''}checkpoint: {path}")
 
@@ -452,10 +482,15 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
             if sampler is not None and (ep % tc.eval_every == 0
                                         or ep == tc.n_epoch - 1):
                 real = np.stack([x for x, _ in eval_samples])
+                # sample from the EMA shadow when maintained — that is
+                # what it exists for (train.ema_decay docstring).
+                sample_params = (state.ema_params
+                                 if state.ema_params is not None
+                                 else state.params)
                 for w in cfg.sample.guide_scales:
                     key, sub = jax.random.split(key)
                     t_s = time.time()
-                    gen = np.asarray(sampler(state.params, state.batch_stats,
+                    gen = np.asarray(sampler(sample_params, state.batch_stats,
                                              sub, jnp.float32(w)))
                     imgs_per_min = len(gen) / max(time.time() - t_s, 1e-9) * 60
                     save_samples(gen, os.path.join(
@@ -498,6 +533,9 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
         state = state.replace(
             params=jax.device_put(early_stop.best_state["params"], p_shard),
         )
+        if early_stop.best_state.get("ema_params") is not None:
+            state = state.replace(ema_params=jax.device_put(
+                early_stop.best_state["ema_params"], p_shard))
         if verbose:
             print(f"Loaded best model, val loss: {early_stop.best_loss:.6f}")
     return state

@@ -59,6 +59,38 @@ def test_fit_resume(tiny_mnist_cfg):
     assert int(state.step) > 0
 
 
+def test_resume_does_not_clobber_best_model(tmp_path):
+    """A resumed run's fresh EarlyStop (best=inf) must not overwrite an
+    existing better best_model — the baseline is seeded from the
+    best_val.json sidecar written alongside best_model."""
+    import dataclasses
+
+    from diffusionmodel_tpu.checkpoint import load_checkpoint
+
+    sd = str(tmp_path / "run")
+    cfg = preset("mnist", **{
+        "model.n_feat": 8, "diffusion.n_T": 8,
+        "train.batch_size": 16, "train.n_epoch": 2,
+        "train.eval_every": 10, "train.min_save_ep": 0,
+        "train.save_freq": 1, "train.save_dir": sd,
+        "train.eval_sample_count": 0,
+    })
+    ds = MnistDataset(synthetic=True, n_synthetic=96)
+    fit(cfg, dataset=ds, verbose=False)
+    best = os.path.join(sd, "best_model")
+    assert os.path.exists(best)
+    assert os.path.exists(os.path.join(sd, "best_val.json"))
+    # make the recorded best unbeatable, then resume: best_model must
+    # survive untouched
+    with open(os.path.join(sd, "best_val.json"), "w") as f:
+        json.dump({"epoch": 999, "val_loss": 0.0}, f)
+    ep_before = int(load_checkpoint(best)["epoch"])
+    ck = sorted(glob.glob(os.path.join(sd, "ckpt_ep*")))[-1]
+    cfg3 = cfg.replace(train=dataclasses.replace(cfg.train, n_epoch=3))
+    fit(cfg3, dataset=ds, verbose=False, resume=ck)
+    assert int(load_checkpoint(best)["epoch"]) == ep_before
+
+
 def test_fit_with_profiler_trace(tmp_path, tiny_mnist_cfg):
     import dataclasses
 

@@ -153,6 +153,7 @@ def test_early_stop_logic():
     class S:  # minimal stand-in
         params = {}
         batch_stats = {}
+        ema_params = None
 
     assert es(1.0, S(), 0) is True
     assert es(0.999, S(), 1) is False  # within min_delta -> no improvement
