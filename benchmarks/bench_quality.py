@@ -115,6 +115,9 @@ def main() -> None:
                     help="also run ancestral-700 on this many images")
     ap.add_argument("--train-epochs", type=int, default=0,
                     help="legacy: train this many epochs first")
+    ap.add_argument("--raw-params", action="store_true",
+                    help="gate the LIVE params even when the checkpoint "
+                         "carries an EMA shadow (for EMA-vs-raw A/B)")
     args = ap.parse_args()
 
     import jax
@@ -155,7 +158,8 @@ def main() -> None:
                           "seconds": round(time.time() - t0, 1)}), flush=True)
         args.ckpt = os.path.join(OUT_DIR, "best_model")
 
-    params = extract_params(load_checkpoint(args.ckpt))
+    params = extract_params(load_checkpoint(args.ckpt),
+                            prefer_ema=not args.raw_params)
 
     dataset = CrackDataset(root, img_size=256)
     n_classes = len(dataset.classes)
@@ -221,6 +225,7 @@ def main() -> None:
 
     entry = gates.setdefault(str(label), {})
     entry["ckpt"] = args.ckpt
+    entry["params"] = "raw" if args.raw_params else "ema_when_present"
     rounds = -(-n_per // chunk_pc)  # ceil: never silently under-generate
     for w in args.scales:
         t0 = time.time()

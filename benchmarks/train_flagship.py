@@ -27,6 +27,18 @@ resume ckpt_ep199 with a constant LR at the schedule's own eta_min:
   python benchmarks/train_flagship.py --epochs 240 \
       --resume ./output/bench_quality/ckpt_ep199 \
       --lr 3e-5 --lr-schedule none --save-freq 40
+
+Round-3b fresh-start recipe (machine reset wiped output/): train 0->150
+so the SGDR leg ENDS at the cycle boundary (restarts at 10/30/70/150 —
+epoch 149 samples at LR~eta_min, unlike the round-3 checkpoints at
+179/199 that sampled mid-cycle), with --ema-decay 0.9995 so gates sample
+the EMA shadow (all checkpoint consumers prefer_ema); then a 40-epoch
+constant-eta_min anneal leg to 190:
+
+  python benchmarks/train_flagship.py --epochs 150 --ema-decay 0.9995
+  python benchmarks/train_flagship.py --epochs 190 \
+      --resume ./output/bench_quality/ckpt_ep149 \
+      --lr 3e-5 --lr-schedule none --save-freq 40 --ema-decay 0.9995
 """
 
 from __future__ import annotations
@@ -50,6 +62,9 @@ def main() -> None:
     ap.add_argument("--lr-schedule", default=None,
                     help="override train.lr_schedule (e.g. 'none' for the anneal leg)")
     ap.add_argument("--save-freq", type=int, default=60)
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="maintain an EMA shadow of the params "
+                         "(checkpoint consumers prefer it for sampling)")
     args = ap.parse_args()
 
     from benchmarks.bench_quality import ensure_crops
@@ -66,6 +81,7 @@ def main() -> None:
         "train.min_save_ep": 0, "train.save_freq": args.save_freq,
         "train.patience": 10_000,
         "train.save_dir": OUT_DIR,
+        "train.ema_decay": args.ema_decay,
     }
     if args.lr is not None:
         overrides["train.lr"] = args.lr
