@@ -27,7 +27,12 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # chunked+threaded fetch: a per-leaf np.asarray hits the tunneled
+    # platform's ~5 MB/s large-array path (the flagship model has a
+    # 604 MB leaf -> minutes per save); see utils/transfer.py.
+    from diffusionmodel_tpu.utils.transfer import fetch_tree
+
+    return fetch_tree(tree)
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:

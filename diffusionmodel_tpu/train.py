@@ -251,15 +251,19 @@ class EarlyStop:
         if val_loss < self.best_loss - self.min_delta:
             self.best_loss = val_loss
             self.counter = 0
+            # chunked+threaded fetch (utils/transfer.py): plain
+            # device_get costs minutes per improvement on the tunneled
+            # platform's slow large-array path.
+            from diffusionmodel_tpu.utils.transfer import fetch_tree
+
             self.best_state = {
                 "epoch": epoch,
-                "params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats),
+                "params": fetch_tree(state.params),
+                "batch_stats": fetch_tree(state.batch_stats),
                 "val_loss": val_loss,
             }
             if state.ema_params is not None:
-                self.best_state["ema_params"] = jax.device_get(
-                    state.ema_params)
+                self.best_state["ema_params"] = fetch_tree(state.ema_params)
             if self.verbose:
                 print(f"Val loss improved to {val_loss:.6f}")
             return True

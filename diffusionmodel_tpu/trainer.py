@@ -403,23 +403,42 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
         tc.lr_schedule, tc.lr, steps_per_epoch, n_epoch=tc.n_epoch,
         t0=tc.sgdr_t0, t_mult=tc.sgdr_t_mult, eta_min=tc.sgdr_eta_min)
 
-    def save_ckpt(state, epoch, loss, is_best=False):
+    def save_ckpt(state, epoch, loss, is_best=False, host_state=None):
         name = "best_model" if is_best else f"ckpt_ep{epoch}"
-        payload = {
-            "epoch": epoch,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "loss": float(loss),
-        }
-        if state.ema_params is not None:
-            payload["ema_params"] = state.ema_params
+        t0 = time.time()
+        if host_state is not None:
+            # best_model: reuse the host copy EarlyStop already fetched
+            # (a second device fetch costs minutes on the tunneled
+            # platform) and omit opt_state — best_model is a sampling
+            # artifact, like the reference's bare state_dict best save
+            # (new_scripy.py:836-846); full resume state lives in the
+            # periodic ckpt_epN.
+            payload = {
+                "epoch": epoch,
+                "params": host_state["params"],
+                "batch_stats": host_state["batch_stats"],
+                "loss": float(loss),
+            }
+            if host_state.get("ema_params") is not None:
+                payload["ema_params"] = host_state["ema_params"]
+        else:
+            payload = {
+                "epoch": epoch,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "loss": float(loss),
+            }
+            if state.ema_params is not None:
+                payload["ema_params"] = state.ema_params
         path = save_checkpoint(os.path.join(tc.save_dir, name), payload)
         if is_best:
             with open(best_sidecar, "w") as f:
                 json.dump({"epoch": epoch, "val_loss": float(loss)}, f)
         if verbose:
-            print(f"Saved {'best ' if is_best else ''}checkpoint: {path}")
+            print(f"[{time.strftime('%H:%M:%S')}] Saved "
+                  f"{'best ' if is_best else ''}checkpoint: {path} "
+                  f"({time.time() - t0:.1f}s)")
 
     train_loss_ema = None
     last_ep = start_epoch - 1  # actual last completed epoch
@@ -467,8 +486,10 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
             # (new_scripy.py:913-917).
             metrics_log["lr"].append(float(lr_schedule_fn(ep * steps_per_epoch)))
             if verbose:
-                print(f"Epoch {ep+1}/{tc.n_epoch} train {avg_train:.4f} "
-                      f"val {val_loss:.4f} ({steps_per_sec:.2f} steps/s)")
+                print(f"[{time.strftime('%H:%M:%S')}] "
+                      f"Epoch {ep+1}/{tc.n_epoch} train {avg_train:.4f} "
+                      f"val {val_loss:.4f} ({steps_per_sec:.2f} steps/s)",
+                      flush=True)
 
             is_best = early_stop(val_loss, state, ep)
             if early_stop.early_stop:
@@ -513,7 +534,8 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
                 save_ckpt(state, ep, train_loss_ema or 0.0)
                 last_saved_ep = ep
             if is_best:
-                save_ckpt(state, ep, val_loss, is_best=True)
+                save_ckpt(state, ep, val_loss, is_best=True,
+                          host_state=early_stop.best_state)
 
             with open(os.path.join(metrics_dir, f"metrics_ep{ep}.json"),
                       "w") as f:
