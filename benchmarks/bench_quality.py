@@ -134,6 +134,7 @@ def main() -> None:
     from diffusionmodel_tpu.trainer import make_sampler
     from diffusionmodel_tpu.utils import enable_compilation_cache
     from diffusionmodel_tpu.utils.grid import save_samples
+    from diffusionmodel_tpu.utils.transfer import fetch_tree
 
     enable_compilation_cache()
     root = ensure_crops()
@@ -232,7 +233,9 @@ def main() -> None:
         gens = []
         for r in range(rounds):
             key = jax.random.PRNGKey(123 + 1000 * r)
-            gens.append(np.asarray(
+            # chunked fetch: a generated chunk is tens of MB, which hits
+            # the tunneled platform's slow single-array path
+            gens.append(fetch_tree(
                 sampler(params, {}, key, jnp.float32(w))))
         gen = np.concatenate(gens)  # grouped per chunk: class-major inside
         secs = time.time() - t0
@@ -281,7 +284,7 @@ def main() -> None:
         asampler = make_sampler(model, cfg, sched, False, int(acls.shape[0]),
                                 classes=acls, chunk=50)
         t0 = time.time()
-        gen = np.asarray(asampler(params, {}, jax.random.PRNGKey(123),
+        gen = fetch_tree(asampler(params, {}, jax.random.PRNGKey(123),
                                   jnp.float32(4.0)))
         secs = time.time() - t0
         gf = metrics.extract_features(gen)

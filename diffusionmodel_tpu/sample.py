@@ -25,6 +25,7 @@ from diffusionmodel_tpu.diffusion import Schedule
 from diffusionmodel_tpu.metrics import ImageMetrics
 from diffusionmodel_tpu.nn import build_model
 from diffusionmodel_tpu.trainer import _sanitize, make_sampler
+from diffusionmodel_tpu.utils.transfer import fetch_tree
 from diffusionmodel_tpu.utils import enable_compilation_cache
 from diffusionmodel_tpu.utils.grid import save_image, save_samples
 
@@ -127,7 +128,10 @@ def gen_samples(cfg: Config, ckpt_path: str,
         gw = jnp.repeat(jnp.asarray(scales, jnp.float32), n_sample)
         t0 = time.time()
         with mesh:
-            sweep_gen = np.asarray(sampler(params, batch_stats, sub, gw))
+            # fetch_tree: chunked fetch — a multi-scale sweep batch is
+            # tens of MB, which hits the tunneled platform's ~5 MB/s
+            # single-array path (utils/transfer.py module doc).
+            sweep_gen = fetch_tree(sampler(params, batch_stats, sub, gw))
         sweep_dt = time.time() - t0
     for si, w in enumerate(scales):
         if sweep_one_batch:
@@ -139,7 +143,7 @@ def gen_samples(cfg: Config, ckpt_path: str,
             key, sub = jax.random.split(key)
             t0 = time.time()
             with mesh:
-                x_gen = np.asarray(sampler(params, batch_stats, sub,
+                x_gen = fetch_tree(sampler(params, batch_stats, sub,
                                            jnp.float32(w)))
             dt = time.time() - t0
         grid_path = os.path.join(out_dir, f"samples_g{w}.png")
