@@ -82,6 +82,10 @@ def main() -> None:
         "train.patience": 10_000,
         "train.save_dir": OUT_DIR,
         "train.ema_decay": args.ema_decay,
+        # tunneled-device fetch costs ~1 min; early epochs improve every
+        # epoch, so rate-limit the best-state snapshot (bookkeeping stays
+        # exact per-epoch)
+        "train.best_snapshot_min_epochs": 10,
     }
     if args.lr is not None:
         overrides["train.lr"] = args.lr

@@ -5,9 +5,15 @@ state_dicts, loss, metrics} (new_scripy.py:730-744), an early-stop dict
 (new_scripy.py:606-610), and bare state_dicts (scripy_old.py:652-654), and
 its loader tolerates several layouts (new_scripy.py:975-990). Here:
 
-- primary format: orbax (async-capable, TPU-native) directories
-  ``ckpt_ep{N}`` / ``best_model`` containing the full train pytree
-  {params, batch_stats, opt_state, epoch, val_loss};
+- primary format: checkpoint DIRECTORIES ``ckpt_ep{N}`` / ``best_model``
+  containing the full train pytree {params, batch_stats, opt_state,
+  epoch, val_loss}. The default on-disk layout inside the directory is a
+  single atomic pickle (``payload.pkl``): this host's disk writes at
+  ~3 MB/s (measured 2026-08-17, dd fdatasync) and orbax's per-leaf
+  tensorstore layout is ~5x slower end-to-end than one sequential
+  pickle stream (104.7s vs 18.8s for a 200 MB tree, measured). Pass
+  ``fmt="orbax"`` for the orbax layout; ``load_checkpoint``
+  auto-detects both;
 - a tolerant ``restore`` that accepts a full checkpoint, a params-only
   tree, or a torch ``.pt`` file converted through compat.torch_convert;
 - unlike the reference (which never resumes), ``--resume`` restores
@@ -35,22 +41,46 @@ def _to_host(tree):
     return fetch_tree(tree)
 
 
-def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:
-    """Save a checkpoint directory (orbax) or pickle file (path endswith .pkl)."""
+_PICKLE_NAME = "payload.pkl"
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any],
+                    fmt: str = "pickle") -> str:
+    """Save a checkpoint directory or pickle file (path endswith .pkl).
+
+    Directory layouts: ``fmt="pickle"`` (default — one atomic
+    ``payload.pkl``, written to a temp dir then renamed so a crash never
+    leaves a half-written checkpoint that looks complete) or
+    ``fmt="orbax"``. See the module docstring for why pickle is the
+    default on this host.
+    """
     payload = dict(payload)
     for k in ("params", "batch_stats", "opt_state", "ema_params"):
         if k in payload and payload[k] is not None:
             payload[k] = _to_host(payload[k])
     if path.endswith(".pkl"):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump(payload, f)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
         return path
-    import orbax.checkpoint as ocp
-
     path = os.path.abspath(path)
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, payload, force=True)
+    if fmt == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, payload, force=True)
+        return path
+    import shutil
+
+    tmp_dir = f"{path}.tmp-{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    with open(os.path.join(tmp_dir, _PICKLE_NAME), "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp_dir, path)
     return path
 
 
@@ -67,6 +97,10 @@ def load_checkpoint(path: str, arch: Optional[str] = None,
     """
     if path.endswith(".pkl"):
         with open(path, "rb") as f:
+            return pickle.load(f)
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, _PICKLE_NAME)):
+        with open(os.path.join(path, _PICKLE_NAME), "rb") as f:
             return pickle.load(f)
     if path.endswith((".pt", ".pth")):
         from diffusionmodel_tpu.compat.torch_convert import (

@@ -149,6 +149,13 @@ class TrainConfig:
     # sampling/eval prefer it — standard DDPM practice (Ho et al. use
     # 0.9999) that markedly improves sample quality at convergence.
     ema_decay: float = 0.0
+    # Minimum epochs between EarlyStop best-state device fetches. 0 =
+    # snapshot every improvement (reference behavior, new_scripy.py:
+    # 596-605 — cheap on a local GPU). On the tunneled TPU a full-model
+    # fetch costs ~a minute, and early epochs improve every epoch, so
+    # long runs set e.g. 10: best_loss/patience bookkeeping stays exact
+    # per-epoch, only the params snapshot is rate-limited.
+    best_snapshot_min_epochs: int = 0
 
 
 @dataclass(frozen=True)

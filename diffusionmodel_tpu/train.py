@@ -238,7 +238,7 @@ class EarlyStop:
     """Patience-based early stopping (new_scripy.py:587-620)."""
 
     def __init__(self, patience: int = 10, min_delta: float = 1e-3,
-                 verbose: bool = True):
+                 verbose: bool = True, snapshot_min_epochs: int = 0):
         self.patience = patience
         self.min_delta = min_delta
         self.verbose = verbose
@@ -246,11 +246,21 @@ class EarlyStop:
         self.best_loss = float("inf")
         self.early_stop = False
         self.best_state: Optional[dict] = None
+        # rate-limit the (expensive on a tunneled device) params fetch;
+        # best_loss/patience accounting stays exact per-epoch
+        # (config.TrainConfig.best_snapshot_min_epochs)
+        self.snapshot_min_epochs = snapshot_min_epochs
 
     def __call__(self, val_loss: float, state: TrainState, epoch: int) -> bool:
         if val_loss < self.best_loss - self.min_delta:
             self.best_loss = val_loss
             self.counter = 0
+            if self.verbose:
+                print(f"Val loss improved to {val_loss:.6f}", flush=True)
+            if (self.best_state is not None and self.snapshot_min_epochs > 0
+                    and epoch - self.best_state["epoch"]
+                    < self.snapshot_min_epochs):
+                return False  # improved, but snapshot not refreshed yet
             # chunked+threaded fetch (utils/transfer.py): plain
             # device_get costs minutes per improvement on the tunneled
             # platform's slow large-array path.
@@ -264,8 +274,6 @@ class EarlyStop:
             }
             if state.ema_params is not None:
                 self.best_state["ema_params"] = fetch_tree(state.ema_params)
-            if self.verbose:
-                print(f"Val loss improved to {val_loss:.6f}")
             return True
         self.counter += 1
         if self.verbose:

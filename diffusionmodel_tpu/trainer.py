@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Dict, Optional
 
@@ -44,6 +45,7 @@ from diffusionmodel_tpu.train import (
 )
 from diffusionmodel_tpu.utils import enable_compilation_cache
 from diffusionmodel_tpu.utils.grid import save_samples
+from diffusionmodel_tpu.utils.transfer import fetch_tree
 
 
 def _sanitize(obj):
@@ -205,6 +207,77 @@ def _wire_format_ok(dataset, dc) -> bool:
     then, so training uses the dataset's own weights (ADVICE r2)."""
     cfg_vals = (dc.low_weight, dc.mid_weight, dc.high_weight)
     return tuple(getattr(dataset, "mask_values", cfg_vals)) == cfg_vals
+
+
+class _CkptWriter:
+    """Asynchronous checkpoint writer: one daemon thread, FIFO by name,
+    per-name coalescing.
+
+    This host's disk persists at ~3 MB/s (measured 2026-08-17, dd
+    fdatasync), so a multi-GB flagship checkpoint takes tens of minutes
+    to land — far longer than an epoch. Writes therefore happen OFF the
+    training thread: ``submit`` hands over an already-host-resident
+    payload (the device fetch stays on the training thread — concurrent
+    device access from a writer thread is not worth trusting on the
+    tunneled platform) and returns immediately. If a newer payload for
+    the same name (e.g. ``best_model``) arrives while an older one is
+    still queued, the older one is replaced — stale snapshots are
+    skipped, the newest always lands. ``close()`` drains the queue.
+
+    The reference blocks its train loop on every torch.save
+    (new_scripy.py:730-744) — fine on a local GPU box, not here.
+    """
+
+    def __init__(self, verbose: bool = True):
+        self._cv = threading.Condition()
+        self._pending: Dict[str, tuple] = {}  # name -> (path, payload, meta)
+        self._order: list = []                # FIFO of pending names
+        self._stop = False
+        self.verbose = verbose
+        self.errors: list = []
+        self._thread = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def submit(self, name: str, path: str, payload: dict,
+               sidecar: Optional[tuple] = None) -> None:
+        """Queue a checkpoint; ``sidecar=(path, json_dict)`` is written
+        after the checkpoint itself lands (it mirrors on-disk state)."""
+        with self._cv:
+            if name not in self._pending:
+                self._order.append(name)
+            self._pending[name] = (path, payload, sidecar)
+            self._cv.notify()
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._order and not self._stop:
+                    self._cv.wait()
+                if not self._order:
+                    return  # stopped and drained
+                name = self._order.pop(0)
+                path, payload, sidecar = self._pending.pop(name)
+            t0 = time.time()
+            try:
+                out = save_checkpoint(path, payload)
+                if sidecar is not None:
+                    with open(sidecar[0], "w") as f:
+                        json.dump(sidecar[1], f)
+                if self.verbose:
+                    print(f"[{time.strftime('%H:%M:%S')}] Saved checkpoint: "
+                          f"{out} ({time.time() - t0:.1f}s, async)",
+                          flush=True)
+            except Exception as e:  # keep the writer alive for later saves
+                self.errors.append((name, e))
+                print(f"[ckpt-writer] save of {name} FAILED: {e}", flush=True)
+
+    def close(self) -> None:
+        """Drain pending writes and stop the thread (blocks)."""
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join()
 
 
 def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
@@ -383,7 +456,8 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
                                classes=classes, mesh=mesh)
     img_metrics = metrics_impl if metrics_impl is not None else ImageMetrics()
 
-    early_stop = EarlyStop(tc.patience, tc.min_delta, verbose=verbose)
+    early_stop = EarlyStop(tc.patience, tc.min_delta, verbose=verbose,
+                           snapshot_min_epochs=tc.best_snapshot_min_epochs)
     # A resumed run must not clobber an existing best_model with a
     # worse-val state just because its EarlyStop baseline restarts at inf:
     # seed the baseline from the sidecar written alongside best_model.
@@ -402,6 +476,8 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     lr_schedule_fn = build_schedule(
         tc.lr_schedule, tc.lr, steps_per_epoch, n_epoch=tc.n_epoch,
         t0=tc.sgdr_t0, t_mult=tc.sgdr_t_mult, eta_min=tc.sgdr_eta_min)
+
+    ckpt_writer = _CkptWriter(verbose=verbose)
 
     def save_ckpt(state, epoch, loss, is_best=False, host_state=None):
         name = "best_model" if is_best else f"ckpt_ep{epoch}"
@@ -422,28 +498,33 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
             if host_state.get("ema_params") is not None:
                 payload["ema_params"] = host_state["ema_params"]
         else:
+            # fetch to host ON THE TRAIN THREAD (chunked, utils/transfer),
+            # then hand the numpy tree to the async disk writer
             payload = {
                 "epoch": epoch,
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
+                "params": fetch_tree(state.params),
+                "batch_stats": fetch_tree(state.batch_stats),
+                "opt_state": fetch_tree(state.opt_state),
                 "loss": float(loss),
             }
             if state.ema_params is not None:
-                payload["ema_params"] = state.ema_params
-        path = save_checkpoint(os.path.join(tc.save_dir, name), payload)
+                payload["ema_params"] = fetch_tree(state.ema_params)
+        sidecar = None
         if is_best:
-            with open(best_sidecar, "w") as f:
-                json.dump({"epoch": epoch, "val_loss": float(loss)}, f)
+            sidecar = (best_sidecar, {"epoch": epoch,
+                                      "val_loss": float(loss)})
+        path = os.path.join(tc.save_dir, name)
+        ckpt_writer.submit(name, path, payload, sidecar=sidecar)
         if verbose:
-            print(f"[{time.strftime('%H:%M:%S')}] Saved "
+            print(f"[{time.strftime('%H:%M:%S')}] Queued "
                   f"{'best ' if is_best else ''}checkpoint: {path} "
-                  f"({time.time() - t0:.1f}s)")
+                  f"(fetch {time.time() - t0:.1f}s)", flush=True)
 
     train_loss_ema = None
     last_ep = start_epoch - 1  # actual last completed epoch
     last_saved_ep = -1
-    with mesh:
+    try:
+      with mesh:
         for ep in range(start_epoch, tc.n_epoch):
             t_ep = time.time()
             profiling = bool(tc.profile_dir) and ep == tc.profile_epoch
@@ -494,7 +575,8 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
             is_best = early_stop(val_loss, state, ep)
             if early_stop.early_stop:
                 if early_stop.best_state is not None:
-                    save_checkpoint(
+                    ckpt_writer.submit(
+                        "best_model_early",
                         os.path.join(tc.save_dir, "best_model_early"),
                         early_stop.best_state)
                 break
@@ -511,7 +593,7 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
                 for w in cfg.sample.guide_scales:
                     key, sub = jax.random.split(key)
                     t_s = time.time()
-                    gen = np.asarray(sampler(sample_params, state.batch_stats,
+                    gen = fetch_tree(sampler(sample_params, state.batch_stats,
                                              sub, jnp.float32(w)))
                     imgs_per_min = len(gen) / max(time.time() - t_s, 1e-9) * 60
                     save_samples(gen, os.path.join(
@@ -551,6 +633,12 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
         if (not early_stop.early_stop and last_ep >= start_epoch
                 and last_ep != last_saved_ep):
             save_ckpt(state, last_ep, train_loss_ema or 0.0)
+    finally:
+        # drain queued checkpoint writes — also on exceptions, so progress
+        # that was already fetched to host still lands on disk
+        if verbose and (ckpt_writer._order or ckpt_writer._pending):
+            print("Draining pending checkpoint writes...", flush=True)
+        ckpt_writer.close()
     if early_stop.best_state is not None:
         state = state.replace(
             params=jax.device_put(early_stop.best_state["params"], p_shard),
@@ -559,5 +647,7 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
             state = state.replace(ema_params=jax.device_put(
                 early_stop.best_state["ema_params"], p_shard))
         if verbose:
-            print(f"Loaded best model, val loss: {early_stop.best_loss:.6f}")
+            print(f"Loaded best model (epoch "
+                  f"{early_stop.best_state['epoch']}), val loss: "
+                  f"{early_stop.best_state['val_loss']:.6f}")
     return state

@@ -68,10 +68,73 @@ def test_checkpoint_roundtrip_pickle(tmp_path):
 
 def test_checkpoint_roundtrip_orbax(tmp_path):
     payload = {"epoch": 7, "params": {"w": np.ones((2, 2))}}
-    p = save_checkpoint(str(tmp_path / "ck_orbax"), payload)
+    p = save_checkpoint(str(tmp_path / "ck_orbax"), payload, fmt="orbax")
     back = load_checkpoint(p)
     assert int(back["epoch"]) == 7
     np.testing.assert_array_equal(back["params"]["w"], np.ones((2, 2)))
+
+
+def test_checkpoint_roundtrip_dir_pickle(tmp_path):
+    """Default directory layout is the atomic single-pickle (fast on slow
+    disks); load_checkpoint auto-detects it vs the orbax layout."""
+    payload = {"epoch": 9, "params": {"w": np.full((3,), 2.0)}}
+    p = save_checkpoint(str(tmp_path / "ck_dir"), payload)
+    assert os.path.exists(os.path.join(p, "payload.pkl"))
+    back = load_checkpoint(p)
+    assert back["epoch"] == 9
+    np.testing.assert_array_equal(back["params"]["w"], np.full((3,), 2.0))
+    # overwrite in place (the trainer re-saves best_model repeatedly)
+    payload2 = {"epoch": 10, "params": {"w": np.zeros((3,))}}
+    save_checkpoint(str(tmp_path / "ck_dir"), payload2)
+    assert load_checkpoint(p)["epoch"] == 10
+
+
+def test_ckpt_writer_coalesces_and_drains(tmp_path):
+    from diffusionmodel_tpu.trainer import _CkptWriter
+
+    w = _CkptWriter(verbose=False)
+    # hold the writer busy with a first write, then queue two best_model
+    # payloads — only the NEWER may land (stale snapshot skipped)
+    for i in range(3):
+        w.submit("ck_a", str(tmp_path / f"a{i}"),
+                 {"epoch": i, "params": {"x": np.arange(8.0)}})
+    w.submit("best_model", str(tmp_path / "best"),
+             {"epoch": 1, "params": {"x": np.zeros(4)}},
+             sidecar=(str(tmp_path / "best_val.json"),
+                      {"epoch": 1, "val_loss": 0.5}))
+    w.submit("best_model", str(tmp_path / "best"),
+             {"epoch": 2, "params": {"x": np.ones(4)}},
+             sidecar=(str(tmp_path / "best_val.json"),
+                      {"epoch": 2, "val_loss": 0.4}))
+    w.close()
+    assert not w.errors
+    # per-name coalescing: ck_a kept only the last payload per name key
+    back = load_checkpoint(str(tmp_path / "a2"))
+    assert back["epoch"] == 2
+    best = load_checkpoint(str(tmp_path / "best"))
+    assert best["epoch"] == 2
+    import json as _json
+
+    assert _json.load(open(tmp_path / "best_val.json"))["epoch"] == 2
+
+
+def test_early_stop_snapshot_throttle():
+    from types import SimpleNamespace
+
+    from diffusionmodel_tpu.train import EarlyStop
+
+    es = EarlyStop(patience=100, min_delta=0.0, verbose=False,
+                   snapshot_min_epochs=5)
+    state = SimpleNamespace(params={"w": np.arange(3.0)},
+                            batch_stats={}, ema_params=None)
+    assert es(1.0, state, 0) is True          # first improvement: snapshot
+    assert es.best_state["epoch"] == 0
+    assert es(0.9, state, 2) is False         # improved, snapshot throttled
+    assert es.best_loss == 0.9                # bookkeeping stays exact
+    assert es.best_state["epoch"] == 0
+    assert es(0.8, state, 5) is True          # >=5 epochs: snapshot refresh
+    assert es.best_state["epoch"] == 5
+    assert es.counter == 0
 
 
 def test_visualize_dataset(tmp_path):
