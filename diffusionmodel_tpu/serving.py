@@ -50,6 +50,7 @@ import numpy as np
 
 from diffusionmodel_tpu.config import Config
 from diffusionmodel_tpu.diffusion import Schedule, sample_cfg, sample_cfg_ddim
+from diffusionmodel_tpu.utils.transfer import fetch_tree
 
 
 @dataclass
@@ -307,7 +308,10 @@ class SamplerService:
                 key = (jax.random.PRNGKey(req.seed)
                        if req.seed is not None else self._next_key())
                 t_run = time.monotonic()
-                imgs = np.asarray(self._run(
+                # chunked fetch (utils/transfer): a full slot batch of
+                # images is tens of MB — the tunneled platform's
+                # single-array device->host path runs at ~5 MB/s
+                imgs = fetch_tree(self._run(
                     key, jnp.asarray(flat), jnp.asarray(gw)))
                 st = self.stats
                 st["busy_seconds"] += time.monotonic() - t_run
