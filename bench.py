@@ -52,8 +52,12 @@ def _best_of(fn, n: int):
     best = float("inf")
     for i in range(n):
         t0 = time.time()
-        out = np.asarray(fn(i))  # data fetch = the only reliable sync on
-        best = min(best, time.time() - t0)  # this tunneled TPU platform
+        # data fetch = the only reliable sync on this tunneled TPU
+        # platform; chunked fetch_tree avoids its slow single-array path
+        from diffusionmodel_tpu.utils.transfer import fetch_tree
+
+        out = fetch_tree(fn(i))
+        best = min(best, time.time() - t0)
     return best, out
 
 
@@ -111,8 +115,10 @@ def main() -> None:
 
         import numpy as np
 
+        from diffusionmodel_tpu.utils.transfer import fetch_tree
+
         t0 = time.time()
-        out = np.asarray(
+        out = fetch_tree(
             sampler(params, {}, jax.random.PRNGKey(1), jnp.float32(4.0)))
         compile_and_first = time.time() - t0
 
@@ -134,7 +140,7 @@ def main() -> None:
         })
         dsampler = make_sampler(model, dcfg, sched, False, n_sample,
                                 mesh=mesh)
-        np.asarray(dsampler(params, {}, jax.random.PRNGKey(1),
+        fetch_tree(dsampler(params, {}, jax.random.PRNGKey(1),
                             jnp.float32(4.0)))  # warm-up
         delapsed, _ = _best_of(
             lambda i: dsampler(params, {}, jax.random.PRNGKey(2 + i),

@@ -97,6 +97,7 @@ def main() -> None:
     from diffusionmodel_tpu.diffusion import Schedule
     from diffusionmodel_tpu.nn import build_model
     from diffusionmodel_tpu.trainer import make_sampler
+    from diffusionmodel_tpu.utils.transfer import fetch_tree
 
     model = build_model(mnist.model, mnist.diffusion.high_thresh)
     sched = Schedule.create(mnist.diffusion.beta1, mnist.diffusion.beta2,
@@ -109,12 +110,12 @@ def main() -> None:
     sampler = make_sampler(model, mnist, sched, bool(v.get("batch_stats")),
                            n_s, chunk=400)
     bs = v.get("batch_stats", {})
-    np.asarray(sampler(v["params"], bs, jax.random.PRNGKey(1),
+    fetch_tree(sampler(v["params"], bs, jax.random.PRNGKey(1),
                        jnp.float32(2.0)))  # compile + warm
     best_s = float("inf")
     for i in range(2):
         t0 = time.time()
-        np.asarray(sampler(v["params"], bs, jax.random.PRNGKey(2 + i),
+        fetch_tree(sampler(v["params"], bs, jax.random.PRNGKey(2 + i),
                            jnp.float32(2.0)))
         best_s = min(best_s, time.time() - t0)
     rec["sample_images_per_min"] = round(n_s * 60.0 / best_s, 1)

@@ -34,6 +34,7 @@ def main() -> None:
     )
     from diffusionmodel_tpu.models.latent_diffusion.samplers import DDIMSampler
     from diffusionmodel_tpu.utils import enable_compilation_cache
+    from diffusionmodel_tpu.utils.transfer import fetch_tree
 
     enable_compilation_cache()
     key = jax.random.PRNGKey(0)
@@ -88,14 +89,14 @@ def main() -> None:
             try:
                 jrun = make_run(use_flash, hw)
                 t0 = time.time()
-                img = np.asarray(jrun(uvars["params"], avars["params"],
+                img = fetch_tree(jrun(uvars["params"], avars["params"],
                                       jax.random.PRNGKey(1), cond, uncond))
                 compile_s = time.time() - t0
                 assert np.isfinite(img).all() and img.shape[1] == hw
                 best = float("inf")
                 for i in range(3):
                     t0 = time.time()
-                    img = np.asarray(jrun(uvars["params"], avars["params"],
+                    img = fetch_tree(jrun(uvars["params"], avars["params"],
                                           jax.random.PRNGKey(2 + i), cond,
                                           uncond))
                     best = min(best, time.time() - t0)
