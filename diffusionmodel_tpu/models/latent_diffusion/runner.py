@@ -45,6 +45,7 @@ from diffusionmodel_tpu.models.latent_diffusion.pipelines import (
     Txt2Img,
 )
 from diffusionmodel_tpu.models.latent_diffusion.unet import UNetModel
+from diffusionmodel_tpu.utils.transfer import fetch_tree
 
 # (channels, channel_multipliers, attention_levels, n_heads, d_cond,
 #  ae_channels, ae_mults) — "sd" is the SD-v1 architecture
@@ -198,7 +199,9 @@ class LdmRunner:
                           self.sampler_name, self.steps), build)
         cond = self.cond([prompt] * batch_size)
         uncond = self.cond([""] * batch_size)
-        return np.asarray(jrun(self.params, self.ae_params, key, cond,
+        # chunked fetch: decoded image batches are tens of MB
+        # (utils/transfer.py module doc)
+        return fetch_tree(jrun(self.params, self.ae_params, key, cond,
                                uncond))
 
     def img2img(self, orig_img: np.ndarray, prompt: str,
@@ -225,7 +228,7 @@ class LdmRunner:
                           self.steps), build)
         cond = self.cond([prompt] * batch)
         uncond = self.cond([""] * batch)
-        return np.asarray(jrun(self.params, self.ae_params, key,
+        return fetch_tree(jrun(self.params, self.ae_params, key,
                                jnp.asarray(orig_img), cond, uncond))
 
     def inpaint(self, orig_img: np.ndarray, prompt: str,
@@ -270,4 +273,4 @@ class LdmRunner:
                 cond, uncond)
         if has_mask:
             args += (jnp.asarray(mask),)
-        return np.asarray(jrun(*args))
+        return fetch_tree(jrun(*args))
