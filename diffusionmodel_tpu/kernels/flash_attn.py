@@ -17,6 +17,15 @@ innermost-fastest). Non-divisible N/M are zero-padded to block multiples
 outside the kernel and the padded COLUMNS masked to -inf inside it
 (padded query rows are sliced off after) — no silent XLA fallback.
 
+Block sizes were swept on the v5e chip (benchmarks/RESULTS.md): the
+per-tile rescale (alpha multiply of the [block_q, d] accumulator) and
+scratch read-modify-write are pure VPU overhead, so LARGE k blocks win —
+(block_q=512, block_k=2048) measures 1.5x over XLA einsum attention at
+N=4096 and 2.25x at N=16384, while (256, 512) was 0.94x (slower than
+XLA). (1024, 4096) fails to compile (VMEM); the defaults below are the
+largest robust point. Sizes clamp to the (padded) sequence lengths, so
+short-N sites degenerate to a single-tile kernel automatically.
+
 Scope: forward pass only (no custom_vjp) — the LDM stretch stack is
 inference-only, like the reference's (SURVEY 2.6). Training through this
 kernel would differentiate the XLA fallback instead; use
@@ -102,7 +111,7 @@ def _pad_to(x, axis: int, mult: int):
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
                                              "force_xla", "interpret"))
-def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512,
+def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048,
                     force_xla: bool = False, interpret: bool = False):
     """q: [B,N,H,D]; k, v: [B,M,H,D]. Returns [B,N,H,D]. Forward only
     (see module docstring); off-TPU (without ``interpret``) or with
