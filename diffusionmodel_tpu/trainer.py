@@ -380,6 +380,12 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
                 except Exception as e:
                     print(f"opt_state restore skipped: {e}")
             start_epoch = int(ckpt.get("epoch", -1)) + 1
+        # Seed the step counter from the resumed position: the EMA
+        # warm-up min(decay, (1+step)/(10+step)) would otherwise restart
+        # at ~0.1 and overwrite the restored shadow with the live params
+        # in the first resumed steps.
+        state = state.replace(
+            step=jnp.asarray(start_epoch * steps_per_epoch, jnp.int32))
         if verbose:
             print(f"Resumed from {resume} at epoch {start_epoch}")
     has_bn = bool(state.batch_stats)

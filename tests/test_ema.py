@@ -111,6 +111,11 @@ def test_fit_ema_checkpoint_roundtrip_and_resume(tmp_path):
     cfg3 = cfg.replace(train=dataclasses.replace(cfg.train, n_epoch=3))
     state2 = fit(cfg3, dataset=ds, verbose=False, resume=ck)
     assert state2.ema_params is not None
+    # the step counter is seeded from the resumed position, so the EMA
+    # warm-up min(decay, (1+step)/(10+step)) does NOT restart at ~0.1
+    # and blow away the restored shadow (96 imgs / batch 16 = 6
+    # steps/epoch, resumed at epoch 2, ran 1 more => step >= 18)
+    assert int(state2.step) >= 18
 
 
 def test_resume_ema_run_from_ema_less_checkpoint(tmp_path):
