@@ -40,8 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "for real Inception FID; without it the in-loop "
                         "metric is reported as fid_proxy")
     p.add_argument("--sampler", type=str, default=None,
-                   choices=["ancestral", "ddim"],
-                   help="ancestral (reference full-T) or ddim (fast)")
+                   choices=["ancestral", "ddim", "dpmpp"],
+                   help="ancestral (reference full-T), ddim (fast), or "
+                        "dpmpp (DPM-Solver++(2M), fastest)")
     p.add_argument("--steps", type=int, default=None,
                    help="DDIM sampling steps")
     p.add_argument("--preset", type=str, default="full",
@@ -138,7 +139,11 @@ def main(argv=None) -> int:
         if args.sampler:
             sc = _dc.replace(sc, sampler=args.sampler)
         if args.steps:
-            sc = _dc.replace(sc, ddim_steps=args.steps)
+            # --steps targets whichever fast sampler is active
+            if (args.sampler or sc.sampler) == "dpmpp":
+                sc = _dc.replace(sc, dpm_steps=args.steps)
+            else:
+                sc = _dc.replace(sc, ddim_steps=args.steps)
         cfg = cfg.replace(sample=sc)
 
     metrics_impl = None

@@ -168,12 +168,16 @@ class SampleConfig:
     sample_dir: str = "./output/samples/"
     denorm: bool = True
     # "ancestral" = the reference's full-T loop; "ddim" = fast subsequence
-    # sampling (upgrade), with ddim_steps network evaluations.
+    # sampling (upgrade), with ddim_steps network evaluations; "dpmpp" =
+    # DPM-Solver++(2M) (beyond-reference extra): second-order multistep
+    # ODE solver reaching DDIM-50-class quality in dpm_steps (~15-20)
+    # evaluations — the throughput/serving sampler.
     sampler: str = "ancestral"
     ddim_steps: int = 50
     ddim_eta: float = 0.0
     # "uniform" | "quad" tau spacing (reference ddim.py:42-50 offers both).
     ddim_discretize: str = "uniform"
+    dpm_steps: int = 20
 
 
 @dataclass(frozen=True)

@@ -366,3 +366,95 @@ def sample_cfg_ddim(
 
     (x, _), _ = jax.lax.scan(step, (x, key), (taus, taus_prev))
     return x
+
+
+def _dpmpp_coeffs(sched: Schedule, n_T: int, n_steps: int,
+                  discretize: str):
+    """Host-side per-step coefficients for DPM-Solver++(2M) over the MAIN
+    family's discrete schedule (float64; returned as fp32 scan inputs).
+
+    For each step k (descending taus tau_k -> tau_{k+1}, final target 0
+    with alphabar=1): alpha=sqrt(ab), sigma=sqrt(1-ab),
+    lambda=log(alpha/sigma). The update uses
+        exp(-h) = (alpha_cur * sigma_nxt) / (sigma_cur * alpha_nxt)
+    computed directly (finite even at sigma_nxt=0, where lambda is +inf),
+    and 1/(2 r) = h_k / (2 h_{k-1}) with the convention 0 at k=0 (no
+    second point yet) and 0 at the final step (lower-order final: the
+    update then degenerates EXACTLY to x = x0_prediction — ratio=0,
+    alpha_nxt=1, exp(-h)-1 = -1)."""
+    import numpy as np
+
+    taus = np.asarray(ddim_taus(n_T, n_steps, discretize))[::-1]
+    ab = np.concatenate([np.ones(1), np.asarray(sched.alphabar_t,
+                                                np.float64)[1:]])
+    a_cur = ab[taus]
+    a_nxt = ab[np.concatenate([taus[1:], np.zeros(1, np.int64)])]
+    al_c, si_c = np.sqrt(a_cur), np.sqrt(1.0 - a_cur)
+    al_n, si_n = np.sqrt(a_nxt), np.sqrt(1.0 - a_nxt)
+    with np.errstate(divide="ignore"):
+        lam_c = np.log(al_c / si_c)
+        lam_n = np.log(al_n / si_n)  # +inf at the final (sigma=0) target
+    h = lam_n - lam_c
+    inv2r = np.zeros_like(h)
+    inv2r[1:] = h[1:] / (2.0 * h[:-1])
+    inv2r[~np.isfinite(inv2r)] = 0.0  # final step: lower-order
+    f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+    return (jnp.asarray(taus.copy(), jnp.int32), f32(al_c), f32(si_c),
+            f32(al_n), f32(si_n / np.maximum(si_c, 1e-20)),
+            f32((al_c * si_n) / (si_c * al_n) - 1.0), f32(inv2r))
+
+
+def sample_cfg_dpmpp(
+    apply_fn: Callable[..., jnp.ndarray],
+    key: jax.Array,
+    n_sample: int,
+    img_shape: Tuple[int, int, int],
+    n_classes: int,
+    sched: Schedule,
+    dc: DiffusionConfig,
+    guide_w: float = 0.0,
+    n_steps: int = 20,
+    classes: Optional[jnp.ndarray] = None,
+    discretize: str = "uniform",
+):
+    """DPM-Solver++(2M) sampling for the MAIN family (beyond-reference
+    extra; the reference offers ancestral + DDIM only): a second-order
+    multistep exponential-integrator ODE solver in x0-prediction space
+    (Lu et al. 2022), reaching DDIM-50-class quality in ~15-20 network
+    evaluations — the serving/throughput sampler. Deterministic given the
+    initial noise (like DDIM eta=0); same CFG arithmetic/orientation
+    flags and per-sample ``guide_w`` vectors as :func:`sample_cfg`; one
+    ``lax.scan``, on-device PRNG for x_T only.
+
+    Update (data-prediction form), taus descending, target alphabar=1:
+        x0_k = (x - sigma_k * eps_cfg) / alpha_k
+        D    = (1 + 1/(2r)) x0_k - 1/(2r) x0_{k-1},  r = h_{k-1}/h_k
+        x   <- (sigma_{k+1}/sigma_k) x - alpha_{k+1} (exp(-h_k) - 1) D
+    First step and final step run first-order (D = x0) — the final-step
+    coefficients make the update exactly x = x0 (lower-order final)."""
+    h, w_, ch = img_shape
+    key, xkey = jax.random.split(key)
+    x = jax.random.normal(xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
+
+    c2, mask2 = _cfg_inputs(n_sample, n_classes, dc, classes)
+    gw = _guide_arr(guide_w, n_sample)
+    taus, al_c, si_c, al_n, ratio, em1, inv2r = _dpmpp_coeffs(
+        sched, dc.n_T, n_steps, discretize)
+
+    def step(carry, xs):
+        x, x0_prev = carry
+        tau, ac, sc_, an, rt, e1m, i2r = xs
+        t_norm = jnp.full((2 * n_sample,), tau.astype(jnp.float32) / dc.n_T)
+        xx = jnp.concatenate([x, x], axis=0)
+        eps = apply_fn(xx, c2, t_norm, mask2, None, False).astype(jnp.float32)
+        e1, e2 = eps[:n_sample], eps[n_sample:]
+        e = (1.0 + gw) * e1 - gw * e2
+        x0 = (x - sc_ * e) / ac
+        d = (1.0 + i2r) * x0 - i2r * x0_prev
+        x = rt * x - an * e1m * d
+        return (x, x0), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (x, jnp.zeros_like(x)),
+        (taus, al_c, si_c, al_n, ratio, em1, inv2r))
+    return x

@@ -146,13 +146,23 @@ class SamplerService:
                     pad_value=-1)
 
             kind = "textbook"
-        elif kind == "ddim":
-            def fn(params, batch_stats, key, classes, guide_w):
-                return sample_cfg_ddim(
-                    _apply(params, batch_stats), key, max_batch, shape,
-                    mc.n_classes, sched, dc, guide_w=guide_w,
-                    n_steps=sc.ddim_steps, eta=sc.ddim_eta, classes=classes,
-                    discretize=sc.ddim_discretize)
+        elif kind in ("ddim", "dpmpp"):
+            if kind == "dpmpp":
+                from diffusionmodel_tpu.diffusion import sample_cfg_dpmpp
+
+                def fn(params, batch_stats, key, classes, guide_w):
+                    return sample_cfg_dpmpp(
+                        _apply(params, batch_stats), key, max_batch, shape,
+                        mc.n_classes, sched, dc, guide_w=guide_w,
+                        n_steps=sc.dpm_steps, classes=classes,
+                        discretize=sc.ddim_discretize)
+            else:
+                def fn(params, batch_stats, key, classes, guide_w):
+                    return sample_cfg_ddim(
+                        _apply(params, batch_stats), key, max_batch, shape,
+                        mc.n_classes, sched, dc, guide_w=guide_w,
+                        n_steps=sc.ddim_steps, eta=sc.ddim_eta,
+                        classes=classes, discretize=sc.ddim_discretize)
 
             jfn = (jax.jit(fn) if mesh is None else
                    jax.jit(fn, out_shardings=xshard))

@@ -180,6 +180,18 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
 
         return _jit_sampler(sfn, (rep, rep))
 
+    if cfg.sample.sampler == "dpmpp":
+        from diffusionmodel_tpu.diffusion import sample_cfg_dpmpp
+
+        def sfn(params, batch_stats, key, guide_w):
+            return sample_cfg_dpmpp(
+                _apply(_precast(params), batch_stats), key, n_sample, shape,
+                mc.n_classes, sched, dc, guide_w=guide_w,
+                n_steps=cfg.sample.dpm_steps, classes=classes,
+                discretize=cfg.sample.ddim_discretize)
+
+        return _jit_sampler(sfn, (rep, rep))
+
     def jchunk(params, batch_stats, x, key, steps, guide_w):
         return sample_cfg(_apply(params, batch_stats), key, n_sample, shape,
                           mc.n_classes, sched, dc, guide_w=guide_w,

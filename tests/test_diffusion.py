@@ -317,3 +317,117 @@ def test_ddim_quad_taus_unique_and_count():
     assert len(np.unique(uni)) == 50
     with pytest.raises(ValueError):
         ddim_taus(5, 6, "uniform")
+
+
+def test_dpmpp_shapes_and_single_trace():
+    from diffusionmodel_tpu.diffusion import sample_cfg_dpmpp
+
+    dc = DiffusionConfig(n_T=100)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+    calls = {"n": 0}
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        calls["n"] += 1
+        return jnp.zeros_like(x)
+
+    x = sample_cfg_dpmpp(apply_fn, jax.random.PRNGKey(0), 4, (8, 8, 1), 2,
+                         sched, dc, guide_w=2.0, n_steps=10)
+    assert x.shape == (4, 8, 8, 1)
+    assert np.isfinite(np.asarray(x)).all()
+    assert calls["n"] == 1  # traced once inside the scan
+
+
+def test_dpmpp_exact_eps_recovers_x0_any_step_count():
+    """The solver's exactness property: when the model returns the TRUE
+    constant eps of a trajectory x_t = alpha_t x0 + sigma_t eps, the
+    x0-prediction is exact at every step, so DPM-Solver++(2M) must return
+    x0 EXACTLY for ANY number of steps (the exp-integrator update
+    preserves the invariant; also pins the degenerate final step where
+    sigma -> 0). DDIM eta=0 shares this property — cross-checked."""
+    from diffusionmodel_tpu.diffusion import sample_cfg_ddim, sample_cfg_dpmpp
+
+    dc = DiffusionConfig(n_T=200)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+    eps_true = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 4, 1))
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        return jnp.broadcast_to(eps_true, x.shape)
+
+    key = jax.random.PRNGKey(3)
+    # the sampler draws x_T itself from key's split — reconstruct it to
+    # derive the x0 the trajectory implies
+    _, xkey = jax.random.split(key)
+    x_T = jax.random.normal(xkey, (2, 4, 4, 1), dtype=jnp.float32)
+    ab = np.asarray(sched.alphabar_t, np.float64)
+    a_T = ab[dc.n_T]  # uniform taus include n_T
+    x0_implied = (np.asarray(x_T) - np.sqrt(1 - a_T) * np.asarray(eps_true)
+                  ) / np.sqrt(a_T)
+
+    for n_steps in (2, 3, 7, 20):
+        got = np.asarray(sample_cfg_dpmpp(
+            apply_fn, key, 2, (4, 4, 1), 2, sched, dc, guide_w=0.0,
+            n_steps=n_steps))
+        np.testing.assert_allclose(got, x0_implied, rtol=2e-4, atol=2e-4)
+    ddim = np.asarray(sample_cfg_ddim(
+        apply_fn, key, 2, (4, 4, 1), 2, sched, dc, guide_w=0.0, n_steps=5))
+    np.testing.assert_allclose(ddim, x0_implied, rtol=2e-4, atol=2e-4)
+
+
+def test_dpmpp_second_order_beats_ddim_on_curved_eps():
+    """On a trajectory whose true eps VARIES with t (curvature in the ODE),
+    the 2nd-order solver at K steps must land closer to the fine-step
+    reference than 1st-order DDIM at the same K — the reason dpmpp is the
+    throughput sampler."""
+    from diffusionmodel_tpu.diffusion import sample_cfg_ddim, sample_cfg_dpmpp
+
+    dc = DiffusionConfig(n_T=400)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        # smooth t-dependence => curved probability-flow ODE
+        tt = t[:, None, None, None]
+        return 0.6 * jnp.tanh(x) * (1.0 + tt) + 0.3 * jnp.sin(3.0 * tt)
+
+    key = jax.random.PRNGKey(11)
+    args = (key, 2, (4, 4, 1), 2, sched, dc)
+    ref = np.asarray(sample_cfg_ddim(apply_fn, *args, guide_w=0.0,
+                                     n_steps=400))  # fine-step reference
+
+    def errs(K):
+        cd = np.asarray(sample_cfg_ddim(apply_fn, *args, guide_w=0.0,
+                                        n_steps=K))
+        cp = np.asarray(sample_cfg_dpmpp(apply_fn, *args, guide_w=0.0,
+                                         n_steps=K))
+        return np.abs(cd - ref).mean(), np.abs(cp - ref).mean()
+
+    # (measured on this fixture: ddim 0.042/0.020 vs dpmpp 0.026/0.0055
+    # at K=16/32 — the 2nd-order solver wins and its error falls ~4x per
+    # step-doubling vs ~2x for 1st-order DDIM)
+    e_ddim16, e_dpm16 = errs(16)
+    e_ddim32, e_dpm32 = errs(32)
+    assert e_dpm16 < e_ddim16, (e_dpm16, e_ddim16)
+    assert e_dpm32 < 0.5 * e_ddim32, (e_dpm32, e_ddim32)
+    # order of convergence: halving the step size helps dpmpp more
+    assert e_dpm16 / e_dpm32 > e_ddim16 / e_ddim32
+
+
+def test_dpmpp_per_sample_guide_vector():
+    from diffusionmodel_tpu.diffusion import sample_cfg_dpmpp
+
+    dc = DiffusionConfig(n_T=10)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        return 0.1 * x + 0.05 * ctx[:, None, None, None]
+
+    key = jax.random.PRNGKey(5)
+
+    def fn(w):
+        return sample_cfg_dpmpp(apply_fn, key, 2, (4, 4, 1), 2, sched, dc,
+                                guide_w=w, n_steps=5)
+
+    mixed = np.asarray(fn(jnp.asarray([2.0, 7.0])))
+    s2, s7 = np.asarray(fn(2.0)), np.asarray(fn(7.0))
+    np.testing.assert_allclose(mixed[0], s2[0], atol=1e-6)
+    np.testing.assert_allclose(mixed[1], s7[1], atol=1e-6)
+    assert np.abs(mixed[1] - s2[1]).max() > 1e-4

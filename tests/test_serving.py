@@ -28,10 +28,15 @@ def tiny():
     return cfg, model, sched, v["params"]
 
 
-def test_submit_and_batching(tiny):
+@pytest.mark.parametrize("kind", ["ddim", "dpmpp"])
+def test_submit_and_batching(tiny, kind):
     cfg, model, sched, params = tiny
+    if kind == "dpmpp":
+        import dataclasses as _dc
+
+        cfg = cfg.replace(sample=_dc.replace(cfg.sample, dpm_steps=4))
     with SamplerService(model, cfg, sched, params, max_batch=6,
-                        sampler="ddim") as svc:
+                        sampler=kind) as svc:
         futs = [svc.submit([0, 1], guide_w=2.0) for _ in range(3)]
         outs = [f.result(timeout=120) for f in futs]
     for o in outs:

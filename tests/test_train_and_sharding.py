@@ -204,6 +204,7 @@ def _tiny_sampler_setup(sampler_kind="ancestral", n_sample=8):
         "model.n_feat": 16, "model.img_size": 32, "model.n_classes": 4,
         "diffusion.n_T": 12,
         "sample.sampler": sampler_kind, "sample.ddim_steps": 4,
+        "sample.dpm_steps": 4,
     })
     model = build_model(cfg.model, cfg.diffusion.high_thresh)
     sched = Schedule.create(cfg.diffusion.beta1, cfg.diffusion.beta2,
@@ -216,7 +217,7 @@ def _tiny_sampler_setup(sampler_kind="ancestral", n_sample=8):
     return cfg, model, sched, variables["params"], n_sample
 
 
-@pytest.mark.parametrize("sampler_kind", ["ancestral", "ddim"])
+@pytest.mark.parametrize("sampler_kind", ["ancestral", "ddim", "dpmpp"])
 def test_sharded_sampler_matches_single_device(sampler_kind):
     """The mesh-sharded sampler must agree with the unsharded run to fp32
     tolerance (partitionable threefry makes the PRNG bits mesh-invariant;
@@ -235,8 +236,11 @@ def test_sharded_sampler_matches_single_device(sampler_kind):
     out_8j = sharded(params, {}, key, w)
     # the batch is genuinely distributed over the data axis
     assert len(out_8j.sharding.device_set) == 8, out_8j.sharding
+    # dpmpp's x0-division + 2nd-order extrapolation amplify the ~1-ulp
+    # GSPMD conv reduction-order noise (measured max |d| 2.6e-5 here)
+    atol = 5e-5 if sampler_kind == "dpmpp" else 1e-5
     np.testing.assert_allclose(out_1, np.asarray(out_8j), rtol=2e-4,
-                               atol=1e-5)
+                               atol=atol)
     # determinism: same key twice -> bit-identical (same compiled program)
     np.testing.assert_array_equal(np.asarray(out_8j),
                                   np.asarray(sharded(params, {}, key, w)))
