@@ -147,6 +147,20 @@ def main() -> None:
                                jnp.float32(4.0)), 2)
         ddim_images_per_min = n_sample * 60.0 / delapsed
 
+        # ---- DPM-Solver++(2M)-20: the throughput sampler (round 3) ------
+        pcfg = preset("full", **{
+            "model.dtype": "bfloat16", "model.n_classes": 5,
+            "sample.sampler": "dpmpp", "sample.dpm_steps": 20,
+        })
+        psampler = make_sampler(model, pcfg, sched, False, n_sample,
+                                mesh=mesh)
+        fetch_tree(psampler(params, {}, jax.random.PRNGKey(1),
+                            jnp.float32(4.0)))  # warm-up
+        pelapsed, _ = _best_of(
+            lambda i: psampler(params, {}, jax.random.PRNGKey(2 + i),
+                               jnp.float32(4.0)), 2)
+        dpmpp_images_per_min = n_sample * 60.0 / pelapsed
+
     # ---- flagship train step: the measured-fastest operating point ------
     # (benchmarks/PROBE_MFU.json, round 3): micro-batch 1 x accum 4 with
     # remat OFF — bf16 Adam mu (train.moment_dtype) frees enough HBM that
@@ -240,6 +254,8 @@ def main() -> None:
         "sampler_mfu_pct": round(sampler_mfu, 1),
         "ddim50_images_per_min": round(ddim_images_per_min, 3),
         "ddim50_seconds": round(delapsed, 3),
+        "dpmpp20_images_per_min": round(dpmpp_images_per_min, 3),
+        "dpmpp20_seconds": round(pelapsed, 3),
         "train_opt_steps_per_sec_per_chip": round(train_opt_steps_per_sec, 3),
         "train_micro_steps_per_sec_per_chip": round(
             train_micro_steps_per_sec, 3),

@@ -118,6 +118,14 @@ def main() -> None:
     ap.add_argument("--raw-params", action="store_true",
                     help="gate the LIVE params even when the checkpoint "
                          "carries an EMA shadow (for EMA-vs-raw A/B)")
+    ap.add_argument("--fast-sampler", default="ddim",
+                    choices=["ddim", "dpmpp"],
+                    help="which fast sampler the gate uses (dpmpp = "
+                         "DPM-Solver++(2M), the round-3 throughput "
+                         "sampler — entry keys become dpmppN_w*)")
+    ap.add_argument("--fast-steps", type=int, default=None,
+                    help="network evaluations for the fast sampler "
+                         "(default: 50 for ddim, 20 for dpmpp)")
     args = ap.parse_args()
 
     import jax
@@ -219,8 +227,12 @@ def main() -> None:
     n_chunk = chunk_pc * n_classes
     classes = jnp.asarray(np.repeat(np.arange(n_classes), chunk_pc),
                           jnp.int32)
-    dcfg = cfg.replace(sample=_dc.replace(cfg.sample, sampler="ddim",
-                                          ddim_steps=50))
+    fast_steps = args.fast_steps or (20 if args.fast_sampler == "dpmpp"
+                                     else 50)
+    dcfg = cfg.replace(sample=_dc.replace(
+        cfg.sample, sampler=args.fast_sampler, ddim_steps=fast_steps,
+        dpm_steps=fast_steps))
+    fast_key = f"{args.fast_sampler}{fast_steps}"
     sampler = make_sampler(model, dcfg, sched, False, n_chunk,
                            classes=classes, chunk=50)
 
@@ -269,11 +281,12 @@ def main() -> None:
             "seconds": round(secs, 1),
             "images_per_min": round(len(gen) * 60 / secs, 2),
         }
-        entry[f"ddim50_w{w}"] = rec
-        save_samples(gen, os.path.join(OUT_DIR, f"gate_ep{label}_w{w}.png"),
-                     nrow=n_per, denorm=True)
-        print(json.dumps({"stage": f"ddim50_w{w}", "label": label, **rec}),
-              flush=True)
+        entry[f"{fast_key}_w{w}"] = rec
+        save_samples(gen, os.path.join(
+            OUT_DIR, f"gate_ep{label}_{fast_key}_w{w}.png"),
+            nrow=n_per, denorm=True)
+        print(json.dumps({"stage": f"{fast_key}_w{w}", "label": label,
+                          **rec}), flush=True)
         with open(qpath, "w") as f:
             json.dump(doc, f, indent=2)
 
