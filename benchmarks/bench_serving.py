@@ -98,19 +98,53 @@ def main() -> None:
         # seed-PINNED load: each request must run alone for exact
         # reproducibility — measures the documented throughput cost
         # (module docstring of serving.py).
-        n_pin = 6
+        _bench_seed_pinned(svc, np, time, json)
+
+    # DPM-Solver++(2M)-20 service (round 3): the throughput sampler —
+    # same concurrent mixed-scale load through a 20-evaluation program.
+    with SamplerService(model, cfg, sched, params, max_batch=MAXB,
+                        sampler="dpmpp") as svc:
         t0 = time.time()
-        futs = [svc.submit([i % 5, (i + 1) % 5], guide_w=4.0, seed=100 + i)
-                for i in range(n_pin)]
+        svc.generate([0], guide_w=4.0)
+        print(json.dumps({"stage": "dpmpp20_warmup",
+                          "seconds": round(time.time() - t0, 1)}), flush=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            svc.generate([1], guide_w=4.0)
+            best = min(best, time.time() - t0)
+        print(json.dumps({"stage": "dpmpp20_single_request",
+                          "latency_s": round(best, 2)}), flush=True)
+        n_req, per = 25, 2
+        scales = [2.0, 3.0, 4.0, 5.0, 6.0]
+        t0 = time.time()
+        futs = [svc.submit([i % 5, (i + 1) % 5], guide_w=scales[i % 5])
+                for i in range(n_req)]
         outs = [f.result(timeout=600) for f in futs]
         dt = time.time() - t0
         assert all(np.isfinite(o).all() for o in outs)
         print(json.dumps({
-            "stage": "concurrent_seed_pinned",
-            "requests": n_pin, "images": n_pin * per,
+            "stage": "dpmpp20_concurrent_mixed_scales",
+            "requests": n_req, "images": n_req * per,
             "seconds": round(dt, 2),
-            "images_per_min": round(n_pin * per * 60.0 / dt, 2),
+            "images_per_min": round(n_req * per * 60.0 / dt, 2),
         }), flush=True)
+
+
+def _bench_seed_pinned(svc, np, time, json, per=2):
+    n_pin = 6
+    t0 = time.time()
+    futs = [svc.submit([i % 5, (i + 1) % 5], guide_w=4.0, seed=100 + i)
+            for i in range(n_pin)]
+    outs = [f.result(timeout=600) for f in futs]
+    dt = time.time() - t0
+    assert all(np.isfinite(o).all() for o in outs)
+    print(json.dumps({
+        "stage": "concurrent_seed_pinned",
+        "requests": n_pin, "images": n_pin * per,
+        "seconds": round(dt, 2),
+        "images_per_min": round(n_pin * per * 60.0 / dt, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -192,6 +192,11 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
 
         return _jit_sampler(sfn, (rep, rep))
 
+    if cfg.sample.sampler != "ancestral":
+        raise ValueError(
+            f"unknown sample.sampler {cfg.sample.sampler!r} "
+            "(expected ancestral | ddim | dpmpp)")
+
     def jchunk(params, batch_stats, x, key, steps, guide_w):
         return sample_cfg(_apply(params, batch_stats), key, n_sample, shape,
                           mc.n_classes, sched, dc, guide_w=guide_w,
