@@ -1,11 +1,17 @@
 #!/bin/bash
-# Unattended flagship pipeline (round 3): wait for the in-flight 150-epoch
-# SGDR leg, then run the constant-eta_min anneal leg to 190, then the
-# quality gates at 150/190 (+ a raw-vs-EMA A/B). Everything is strictly
-# sequential — the dev chip tolerates only one program/compile at a time.
+# Unattended flagship pipeline (round 3b — the machine reset wiped
+# output/, so the round-3 checkpoints are gone; this re-runs the full
+# recipe from scratch): SGDR leg 0->150 ending AT the cycle boundary
+# (restarts at 10/30/70/150, so epoch 149 samples at LR~eta_min), with an
+# EMA shadow; then a 40-epoch constant-eta_min anneal leg to 190; then the
+# quality gates, most-valuable first so a deadline cut still leaves
+# evidence. Everything is strictly sequential — the dev chip tolerates
+# only one program/compile at a time.
 #
-# Designed to be launched DETACHED (setsid) right after train_flagship.py:
-#   setsid bash benchmarks/run_flagship_pipeline.sh >/tmp/flagship_pipeline.log 2>&1 &
+# Launch detached with a hard deadline (epoch seconds; everything is
+# killed once reached so the chip is free for the end-of-round bench):
+#   DEADLINE=<epoch_s> setsid bash benchmarks/run_flagship_pipeline.sh \
+#       >/tmp/flagship_pipeline.log 2>&1 &
 #
 # Robustness: if a training leg dies before writing its final checkpoint,
 # it is relaunched resuming from the newest ckpt_epN (up to 3 attempts per
@@ -13,11 +19,17 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=./output/bench_quality
-PIDFILE=/tmp/flagship.pid
+DEADLINE=${DEADLINE:-$(($(date +%s) + 43200))}
 
-wait_pid() {  # wait for a non-child pid
-    local pid=$1
-    while kill -0 "$pid" 2>/dev/null; do sleep 60; done
+remaining() { echo $((DEADLINE - $(date +%s))); }
+
+run_py() {  # run a python stage bounded by the deadline
+    local left; left=$(remaining)
+    if [ "$left" -le 120 ]; then
+        echo "[pipeline $(date -u +%H:%M:%S)] deadline reached; skipping: $*"
+        return 1
+    fi
+    timeout --signal=TERM --kill-after=60 "$left" python -u "$@"
 }
 
 newest_ckpt() {
@@ -28,30 +40,35 @@ run_leg() {  # run_leg <final_epoch_0based> <epochs> [extra flags...]
     local final=$1 epochs=$2; shift 2
     local attempt=0
     while [ ! -d "$OUT/ckpt_ep$final" ] && [ $attempt -lt 3 ]; do
+        [ "$(remaining)" -le 120 ] && return 1
         attempt=$((attempt + 1))
         local resume_flag=()
         local n; n=$(newest_ckpt)
         if [ -n "${n:-}" ]; then resume_flag=(--resume "$OUT/ckpt_ep$n"); fi
         echo "[pipeline $(date -u +%H:%M:%S)] leg to ep$final attempt $attempt ${resume_flag[*]:-fresh}"
-        python -u benchmarks/train_flagship.py --epochs "$epochs" \
+        run_py benchmarks/train_flagship.py --epochs "$epochs" \
             --ema-decay 0.9995 "${resume_flag[@]}" "$@"
     done
     [ -d "$OUT/ckpt_ep$final" ]
 }
 
-# ---- Leg 1: SGDR 0->150 (already in flight; babysit it) ----
-if [ -f "$PIDFILE" ]; then
-    echo "[pipeline $(date -u +%H:%M:%S)] waiting on in-flight leg 1 (pid $(cat $PIDFILE))"
-    wait_pid "$(cat $PIDFILE)"
-fi
-run_leg 149 150 || { echo "[pipeline] leg 1 never produced ckpt_ep149; aborting"; exit 1; }
+# ---- Leg 1: SGDR 0->150 (fresh; ends at the cycle boundary) ----
+run_leg 149 150 || { echo "[pipeline] no ckpt_ep149; aborting"; exit 1; }
+
+# ---- Gate at 150 first: the single most valuable data point ----
+run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep149" --label 150
 
 # ---- Leg 2: constant-eta_min anneal 150->190 ----
-run_leg 189 190 --lr 3e-5 --lr-schedule none --save-freq 40 \
-    || { echo "[pipeline] leg 2 never produced ckpt_ep189; aborting"; exit 1; }
-
-# ---- Quality gates (EMA-sampled; sequential) ----
-python -u benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep149" --label 150
-python -u benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep189" --label 190 --ancestral-n 20
-python -u benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep189" --label 190raw --raw-params
+if run_leg 189 190 --lr 3e-5 --lr-schedule none --save-freq 40; then
+    run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep189" --label 190 \
+        --ancestral-n 20
+    # DPM-Solver++(2M) at 25 steps on the best checkpoint (fast-sampler A/B)
+    run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep189" \
+        --label 190dpmpp --fast-sampler dpmpp --fast-steps 25
+    # raw-vs-EMA A/B
+    run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep189" \
+        --label 190raw --raw-params
+else
+    echo "[pipeline] leg 2 incomplete at deadline"
+fi
 echo "[pipeline $(date -u +%H:%M:%S)] DONE"

@@ -123,6 +123,13 @@ class TrainConfig:
     # Spatial (H-axis) sharding of big-image forwards — the context-parallel
     # analogue (SURVEY 5.7); >1 makes sampling shard H across chips.
     mesh_spatial: int = 1
+    # ZeRO-1: partition optimizer state (Adam mu/nu) across the 'data'
+    # axis (parallel.opt_state_shardings). No-op on one device; on a
+    # data-parallel mesh it cuts per-chip moment HBM by the data-axis
+    # size (GSPMD turns the grad psum into a reduce-scatter + params
+    # all-gather). Off by default: at flagship scale on a single chip
+    # there is nothing to shard over.
+    zero1: bool = False
     # Data augmentation parity flags.
     hflip_prob: float = 0.5   # new_scripy.py:685
     co_flip_mask: bool = False  # Q5: reference does NOT flip the mask

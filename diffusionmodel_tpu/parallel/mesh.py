@@ -8,7 +8,11 @@ parallelism layer:
 - batch tensors sharded on ``data`` (pjit inserts the gradient psum);
 - large conv/linear kernels sharded on their output-channel dim across
   ``model`` (tensor parallelism); XLA's sharding propagation lays out the
-  activations and inserts the collectives over ICI.
+  activations and inserts the collectives over ICI;
+- optimizer state partitioned across ``data`` (ZeRO-1,
+  ``opt_state_shardings``, enabled by ``train.zero1``): GSPMD turns the
+  gradient psum into a reduce-scatter into each chip's moment shard and
+  all-gathers the fresh params.
 
 At the reference's 353M-param scale one v5e-8 slice holds everything, so
 ``model=1`` (pure DP) is the default; the TP axis exists and is exercised by
@@ -74,6 +78,42 @@ def _leaf_spec(path: str, shape, model_size: int, min_channels: int) -> P:
     if out % model_size == 0 and out >= min_channels:
         return P(*([None] * (len(shape) - 1) + ["model"]))
     return P()
+
+
+def opt_state_shardings(mesh: Mesh, opt_state: Any, min_size: int = 1 << 14):
+    """ZeRO-1: partition optimizer-state leaves across the 'data' axis.
+
+    The reference trains single-device (SURVEY 2.9) so this has no
+    counterpart there; it is the TPU-native optimizer-state sharding of
+    the scaling-book recipe. Adam's mu/nu (params-shaped) dominate train
+    HBM after the params themselves (fp32 nu alone is 1.4 GB for the 353M
+    flagship); annotating them with a data-axis-partitioned sharding makes
+    GSPMD compute the optimizer update shard-wise — the gradient psum
+    becomes a reduce-scatter into each chip's moment shard and the fresh
+    params are all-gathered — cutting per-chip moment memory by the data-
+    axis size with no change to the step function.
+
+    Rule per leaf: partition the largest dim divisible by the data-axis
+    size on leaves of >= ``min_size`` elements (collective overhead beats
+    the savings on small leaves); replicate everything else (counts,
+    biases, norm scales).
+    """
+    n_data = mesh.shape["data"]
+
+    def to_sharding(leaf):
+        shape = getattr(leaf, "shape", ())
+        if (n_data > 1 and len(shape) >= 1
+                and int(np.prod(shape)) >= min_size):
+            cands = [d for d, s in enumerate(shape)
+                     if s % n_data == 0 and s >= n_data]
+            if cands:
+                d = max(cands, key=lambda i: shape[i])
+                spec = [None] * len(shape)
+                spec[d] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(to_sharding, opt_state)
 
 
 def param_shardings(mesh: Mesh, params: Any, min_channels: int = 256):

@@ -412,10 +412,16 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
     eval_fn = make_eval_step(model, sched, cfg, has_bn, normalize_u8=norm_u8)
 
     p_shard = param_shardings(mesh, state.params)
+    if tc.zero1:
+        from diffusionmodel_tpu.parallel import opt_state_shardings
+
+        o_shard = opt_state_shardings(mesh, state.opt_state)
+    else:
+        o_shard = jax.tree.map(lambda _: replicated(mesh), state.opt_state)
     state_shard = state.replace(
         step=replicated(mesh), params=p_shard,
         batch_stats=jax.tree.map(lambda _: replicated(mesh), state.batch_stats),
-        opt_state=jax.tree.map(lambda _: replicated(mesh), state.opt_state),
+        opt_state=o_shard,
         ema_params=p_shard if state.ema_params is not None else None,
     )
     # Batch layout: micro-batch over 'data'; with mesh_spatial > 1 (and a
@@ -451,7 +457,12 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
             "c": batch_sharding(mesh, 1, 0),
             "mask": batch_sharding(mesh, 3, 0),
         }
+    # out_shardings pins the updated state to the same layout the next
+    # step expects — without it GSPMD may emit e.g. new_params still
+    # data-sharded under zero1 (deferring the all-gather), and feeding
+    # that committed output back conflicts with the declared input spec.
     jstep = jax.jit(step_fn, in_shardings=(state_shard, bshard, replicated(mesh)),
+                    out_shardings=(state_shard, replicated(mesh)),
                     donate_argnums=(0,))
     jeval = jax.jit(eval_fn, in_shardings=(state_shard, vshard, replicated(mesh)))
     state = jax.device_put(state, state_shard)

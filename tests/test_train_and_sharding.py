@@ -421,3 +421,97 @@ def test_fit_spatial_train_batches_match_plain(tmp_path):
     plain = run("plain", 1, 1, 1)
     dpsp = run("dpsp", 2, 1, 4)  # data x spatial over all 8 devices
     assert abs(plain - dpsp) < 1e-4 * max(1.0, abs(plain)), (plain, dpsp)
+
+
+def test_zero1_opt_state_sharding_matches_replicated():
+    """ZeRO-1 (parallel.opt_state_shardings): annotating Adam's moments
+    with a data-axis partition must leave the optimizer math unchanged
+    (GSPMD reduce-scatters the grads into moment shards and all-gathers
+    the fresh params) while actually distributing the moment arrays."""
+    from diffusionmodel_tpu.parallel import opt_state_shardings
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=8, model=1)
+    cfg = tiny_cfg(**{"model.n_feat": 16, "train.batch_size": 8})
+    model = build_model(cfg.model, cfg.diffusion.high_thresh)
+    sched = Schedule.create(cfg.diffusion.beta1, cfg.diffusion.beta2,
+                            cfg.diffusion.n_T)
+    s = cfg.model.img_size
+    state, tx = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), steps_per_epoch=4,
+        sample_batch={"x": jnp.zeros((2, s, s, 3)),
+                      "c": jnp.zeros((2,), jnp.int32),
+                      "mask": jnp.ones((2, s, s))})
+    step = make_train_step(model, sched, cfg, tx,
+                           has_bn=bool(state.batch_stats))
+    batch = make_batch(cfg)
+    batch_shard = {
+        "x": batch_sharding(mesh, 5, 1),
+        "c": batch_sharding(mesh, 2, 1),
+        "mask": batch_sharding(mesh, 4, 1),
+    }
+
+    def run(o_shard):
+        state_shard = state.replace(
+            step=replicated(mesh),
+            params=jax.tree.map(lambda _: replicated(mesh), state.params),
+            batch_stats=jax.tree.map(lambda _: replicated(mesh),
+                                     state.batch_stats),
+            opt_state=o_shard,
+        )
+        jstep = jax.jit(step, in_shardings=(state_shard, batch_shard,
+                                            replicated(mesh)))
+        with mesh:
+            return jstep(state, batch, jax.random.PRNGKey(1))
+
+    o_rep = jax.tree.map(lambda _: replicated(mesh), state.opt_state)
+    o_z1 = opt_state_shardings(mesh, state.opt_state, min_size=1024)
+    # the rule must partition at least the big moment leaves
+    assert any(not sh.is_fully_replicated for sh in jax.tree.leaves(o_z1))
+
+    st_rep, loss_rep = run(o_rep)
+    st_z1, loss_z1 = run(o_z1)
+    assert abs(float(loss_rep) - float(loss_z1)) < 1e-5
+    # moments are actually distributed in the committed output state
+    shardeds = [l for l in jax.tree.leaves(st_z1.opt_state)
+                if hasattr(l, "sharding") and not l.sharding.is_fully_replicated]
+    assert shardeds, "no opt-state leaf ended up partitioned"
+    # identical optimizer math: params agree to fp32 collective tolerance
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.abs(a.astype(jnp.float32)
+                                   - b.astype(jnp.float32)).max()),
+        st_rep.params, st_z1.params)
+    assert max(jax.tree.leaves(deltas)) < 1e-5
+
+
+def test_fit_zero1_end_to_end(tmp_path):
+    """train.zero1 through fit(): trains, checkpoints, and resumes with
+    data-axis-partitioned optimizer state (the checkpoint fetch gathers
+    sharded moments transparently)."""
+    import json as _json
+
+    from diffusionmodel_tpu.data import SyntheticImageDataset
+    from diffusionmodel_tpu.trainer import fit
+
+    cfg = preset("full", **{
+        "model.n_feat": 8, "model.img_size": 32, "diffusion.n_T": 4,
+        "train.batch_size": 8, "train.accum_steps": 2, "train.n_epoch": 1,
+        "train.mesh_data": 8, "train.zero1": True,
+        "train.eval_sample_count": 0, "train.min_save_ep": 0,
+        "train.save_freq": 1, "train.save_dir": str(tmp_path / "z1"),
+    })
+    ds = SyntheticImageDataset(n=32, img_size=32, n_classes=2)
+    fit(cfg, dataset=ds, verbose=False)
+    mf = sorted((tmp_path / "z1" / "metrics").glob("metrics_ep*.json"))
+    assert np.isfinite(_json.load(open(mf[-1]))["train_loss"][-1])
+    ckpts = sorted((tmp_path / "z1").glob("ckpt_ep*"))
+    assert ckpts, "zero1 run wrote no checkpoint"
+    # resume continues from the gathered opt state without error
+    cfg2 = preset("full", **{
+        "model.n_feat": 8, "model.img_size": 32, "diffusion.n_T": 4,
+        "train.batch_size": 8, "train.accum_steps": 2, "train.n_epoch": 2,
+        "train.mesh_data": 8, "train.zero1": True,
+        "train.eval_sample_count": 0, "train.min_save_ep": 100,
+        "train.save_freq": 100, "train.save_dir": str(tmp_path / "z1b"),
+    })
+    fit(cfg2, dataset=ds, verbose=False, resume=str(ckpts[-1]))
