@@ -20,6 +20,12 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=./output/bench_quality
 DEADLINE=${DEADLINE:-$(($(date +%s) + 43200))}
+# Leg lengths are env-tunable so the same recipe scales to the wall clock
+# left in a round: LEG1 must end AT an SGDR cycle boundary (10/30/70/150),
+# LEG2 adds a 40-epoch constant-eta_min anneal. Defaults = the full 3b
+# recipe; a ~5h budget fits LEG1=70 LEG2=110.
+LEG1=${LEG1:-150}
+LEG2=${LEG2:-190}
 
 remaining() { echo $((DEADLINE - $(date +%s))); }
 
@@ -52,22 +58,25 @@ run_leg() {  # run_leg <final_epoch_0based> <epochs> [extra flags...]
     [ -d "$OUT/ckpt_ep$final" ]
 }
 
-# ---- Leg 1: SGDR 0->150 (fresh; ends at the cycle boundary) ----
-run_leg 149 150 || { echo "[pipeline] no ckpt_ep149; aborting"; exit 1; }
+F1=$((LEG1 - 1))
+F2=$((LEG2 - 1))
 
-# ---- Gate at 150 first: the single most valuable data point ----
-run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep149" --label 150
+# ---- Leg 1: SGDR 0->LEG1 (fresh; ends at the cycle boundary) ----
+run_leg "$F1" "$LEG1" || { echo "[pipeline] no ckpt_ep$F1; aborting"; exit 1; }
 
-# ---- Leg 2: constant-eta_min anneal 150->190 ----
-if run_leg 189 190 --lr 3e-5 --lr-schedule none --save-freq 40; then
-    run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep189" --label 190 \
-        --ancestral-n 20
+# ---- Gate at the boundary first: cheap insurance if leg 2 is cut ----
+run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep$F1" --label "$LEG1"
+
+# ---- Leg 2: constant-eta_min anneal LEG1->LEG2 ----
+if run_leg "$F2" "$LEG2" --lr 3e-5 --lr-schedule none --save-freq 40; then
+    run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep$F2" \
+        --label "$LEG2" --ancestral-n 20
     # DPM-Solver++(2M) at 25 steps on the best checkpoint (fast-sampler A/B)
-    run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep189" \
-        --label 190dpmpp --fast-sampler dpmpp --fast-steps 25
+    run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep$F2" \
+        --label "${LEG2}dpmpp" --fast-sampler dpmpp --fast-steps 25
     # raw-vs-EMA A/B
-    run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep189" \
-        --label 190raw --raw-params
+    run_py benchmarks/bench_quality.py --ckpt "$OUT/ckpt_ep$F2" \
+        --label "${LEG2}raw" --raw-params
 else
     echo "[pipeline] leg 2 incomplete at deadline"
 fi
