@@ -62,6 +62,17 @@ def _best_of(fn, n: int):
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warm-only", action="store_true",
+                    help="compile + run every benched program ONCE (no "
+                         "timed repeats) to populate the persistent "
+                         "compile cache, then exit. Lets a later cold "
+                         "bench.py run skip every remote compile.")
+    args = ap.parse_args()
+    warm_only = args.warm_only
+
     import jax
     import jax.numpy as jnp
 
@@ -122,16 +133,17 @@ def main() -> None:
             sampler(params, {}, jax.random.PRNGKey(1), jnp.float32(4.0)))
         compile_and_first = time.time() - t0
 
-        # Best of two timed runs — the tunneled dev chip is time-shared and
-        # a single run can be 3-4x slower under contention.
-        elapsed, out = _best_of(
-            lambda i: sampler(params, {}, jax.random.PRNGKey(2 + i),
-                              jnp.float32(4.0)), 2)
+        if not warm_only:
+            # Best of two timed runs — the tunneled dev chip is time-shared
+            # and a single run can be 3-4x slower under contention.
+            elapsed, out = _best_of(
+                lambda i: sampler(params, {}, jax.random.PRNGKey(2 + i),
+                                  jnp.float32(4.0)), 2)
 
-        images_per_min = n_sample * 60.0 / elapsed
-        steps_per_sec = dc.n_T / elapsed
-        sampler_mfu = (flops_per_step_batch * dc.n_T / elapsed
-                       / (V5E_PEAK_FLOPS * len(jax.devices())) * 100)
+            images_per_min = n_sample * 60.0 / elapsed
+            steps_per_sec = dc.n_T / elapsed
+            sampler_mfu = (flops_per_step_batch * dc.n_T / elapsed
+                           / (V5E_PEAK_FLOPS * len(jax.devices())) * 100)
 
         # ---- DDIM-50 fast sampler on the same model ---------------------
         dcfg = preset("full", **{
@@ -142,10 +154,11 @@ def main() -> None:
                                 mesh=mesh)
         fetch_tree(dsampler(params, {}, jax.random.PRNGKey(1),
                             jnp.float32(4.0)))  # warm-up
-        delapsed, _ = _best_of(
-            lambda i: dsampler(params, {}, jax.random.PRNGKey(2 + i),
-                               jnp.float32(4.0)), 2)
-        ddim_images_per_min = n_sample * 60.0 / delapsed
+        if not warm_only:
+            delapsed, _ = _best_of(
+                lambda i: dsampler(params, {}, jax.random.PRNGKey(2 + i),
+                                   jnp.float32(4.0)), 2)
+            ddim_images_per_min = n_sample * 60.0 / delapsed
 
         # ---- DPM-Solver++(2M)-20: the throughput sampler (round 3) ------
         pcfg = preset("full", **{
@@ -156,10 +169,11 @@ def main() -> None:
                                 mesh=mesh)
         fetch_tree(psampler(params, {}, jax.random.PRNGKey(1),
                             jnp.float32(4.0)))  # warm-up
-        pelapsed, _ = _best_of(
-            lambda i: psampler(params, {}, jax.random.PRNGKey(2 + i),
-                               jnp.float32(4.0)), 2)
-        dpmpp_images_per_min = n_sample * 60.0 / pelapsed
+        if not warm_only:
+            pelapsed, _ = _best_of(
+                lambda i: psampler(params, {}, jax.random.PRNGKey(2 + i),
+                                   jnp.float32(4.0)), 2)
+            dpmpp_images_per_min = n_sample * 60.0 / pelapsed
 
     # ---- flagship train step: the measured-fastest operating point ------
     # (benchmarks/PROBE_MFU.json, round 3): micro-batch 1 x accum 4 with
@@ -185,6 +199,14 @@ def main() -> None:
     }
     state, loss = step(state, batch, jax.random.PRNGKey(1))  # compile+warm
     float(loss)  # scalar fetch = sync
+    if warm_only:
+        print(json.dumps({
+            "metric": "warm_cache", "value": 1, "unit": "run",
+            "vs_baseline": 1.0,
+            "note": "compile-cache warm pass: every benched program "
+                    "compiled + executed once; no timings recorded",
+        }))
+        return
     tbest = float("inf")
     for i in range(3):
         t0 = time.time()

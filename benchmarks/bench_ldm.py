@@ -32,7 +32,10 @@ def main() -> None:
         LatentDiffusion,
         UNetModel,
     )
-    from diffusionmodel_tpu.models.latent_diffusion.samplers import DDIMSampler
+    from diffusionmodel_tpu.models.latent_diffusion.samplers import (
+        DDIMSampler,
+        DPMPPSampler,
+    )
     from diffusionmodel_tpu.utils import enable_compilation_cache
     from diffusionmodel_tpu.utils.transfer import fetch_tree
 
@@ -59,14 +62,17 @@ def main() -> None:
     # take an eps_fn, so inject the traced params through a call-time cell.
     _P = [None]
 
-    def make_run(use_flash: bool, hw: int, steps: int = 50):
+    def make_run(use_flash: bool, hw: int, steps: int = 50,
+                 sampler_name: str = "ddim"):
         net = unet[use_flash]
 
         def eps_fn(x, t, c):
             return net.apply({"params": _P[0]}, x, t, c)
 
         ld = LatentDiffusion(eps_fn)
-        sampler = DDIMSampler(ld, n_steps=steps)
+        sampler = (DPMPPSampler(ld, n_steps=steps)
+                   if sampler_name == "dpmpp"
+                   else DDIMSampler(ld, n_steps=steps))
         shape = (B, hw // 8, hw // 8, 4)
 
         def run(params, aparams, key, cond, uncond):
@@ -83,11 +89,19 @@ def main() -> None:
     cond = jax.random.normal(key, (B, 77, 768))
     uncond = jnp.zeros((B, 77, 768))
 
-    for hw in (256, 512):
-        for use_flash in (False, True):
-            label = f"txt2img_{hw}px_" + ("flash" if use_flash else "xla")
+    # (hw, use_flash, sampler, steps): DDIM-50 XLA-vs-flash at both sizes
+    # (the round-2 grid) + DPM-Solver++(2M)-25 on the flash path (the
+    # round-3 throughput sampler: DDIM-50-class quality at half the UNet
+    # evaluations).
+    grid = [(256, False, "ddim", 50), (256, True, "ddim", 50),
+            (512, False, "ddim", 50), (512, True, "ddim", 50),
+            (256, True, "dpmpp", 25), (512, True, "dpmpp", 25)]
+    for hw, use_flash, sampler_name, steps in grid:
+            label = (f"txt2img_{hw}px_" + ("flash" if use_flash else "xla")
+                     + ("" if sampler_name == "ddim" else f"_{sampler_name}"))
             try:
-                jrun = make_run(use_flash, hw)
+                jrun = make_run(use_flash, hw, steps=steps,
+                                sampler_name=sampler_name)
                 t0 = time.time()
                 img = fetch_tree(jrun(uvars["params"], avars["params"],
                                       jax.random.PRNGKey(1), cond, uncond))
@@ -103,7 +117,8 @@ def main() -> None:
                 print(json.dumps({
                     "bench": label, "seconds": round(best, 2),
                     "images_per_min": round(B * 60.0 / best, 2),
-                    "ddim_steps": 50, "uncond_scale": 7.5,
+                    "sampler": sampler_name, "steps": steps,
+                    "uncond_scale": 7.5,
                     "compile_plus_first_s": round(compile_s, 1),
                 }), flush=True)
             except Exception as e:

@@ -92,7 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["sd", "tiny"],
                    help="sd = SD-v1 scale (860M); tiny = smoke-test size")
     p.add_argument("--ldm_sampler", type=str, default="ddim",
-                   choices=["ddim", "ddpm"])
+                   choices=["ddim", "ddpm", "dpmpp"],
+                   help="txt2img sampler; dpmpp = DPM-Solver++(2M), "
+                        "DDIM-50-class quality in ~25 steps (img2img/"
+                        "inpaint use DDIM: they need q_sample/paint)")
     p.add_argument("--out_dir", type=str, default="./output/ldm/")
     return p
 

@@ -17,6 +17,7 @@ import numpy as np
 from diffusionmodel_tpu.models.latent_diffusion.samplers import (
     DDIMSampler,
     DDPMSampler,
+    DPMPPSampler,
 )
 
 
@@ -25,6 +26,8 @@ def _make_sampler(model, sampler_name: str, n_steps: int, ddim_eta: float):
         return DDIMSampler(model, n_steps=n_steps, ddim_eta=ddim_eta)
     if sampler_name == "ddpm":
         return DDPMSampler(model)
+    if sampler_name == "dpmpp":
+        return DPMPPSampler(model, n_steps=n_steps)
     raise ValueError(sampler_name)
 
 

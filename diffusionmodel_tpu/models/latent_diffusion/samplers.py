@@ -138,6 +138,87 @@ class DDIMSampler:
         return x
 
 
+class DPMPPSampler:
+    """DPM-Solver++(2M) for latent diffusion — a beyond-reference extra
+    (the reference ships DDIM + DDPM only, sampler/*): second-order
+    multistep exponential-integrator ODE solver in x0-prediction space
+    (Lu et al. 2022). Deterministic given x_T (like DDIM eta=0);
+    ~20-25 network evaluations reach DDIM-50-class quality, so txt2img
+    throughput roughly doubles at equal quality. Same math as the main
+    family's ``diffusion.sample_cfg_dpmpp`` transplanted onto the LDM
+    schedule/CFG conventions (standard orientation, t in [0,T)).
+
+    Step-index selection mirrors DDIMSampler's ``uniform``/``quad``
+    construction so A/B comparisons hold the visited taus fixed where
+    n_steps match. Per-step coefficients are precomputed host-side in
+    float64: alpha=sqrt(ab), sigma=sqrt(1-ab), lambda=log(alpha/sigma),
+    h_k = lambda_{k+1}-lambda_k, with exp(-h) computed directly as
+    (alpha_k sigma_{k+1})/(sigma_k alpha_{k+1}) — finite even at the
+    final target ab=1 (sigma=0), where the update degenerates EXACTLY
+    to x = pred_x0 (lower-order final step). First step is first-order
+    (no second history point yet)."""
+
+    def __init__(self, model, n_steps: int = 25, discretize: str = "uniform"):
+        self.model = model
+        T = model.n_steps
+        if discretize == "uniform":
+            c = T // n_steps
+            time_steps = np.minimum(
+                np.asarray(list(range(0, T, c))[:n_steps]) + 1, T - 1)
+        elif discretize == "quad":
+            time_steps = np.minimum(
+                ((np.linspace(0, np.sqrt(T * 0.8), n_steps)) ** 2
+                 ).astype(int) + 1, T - 1)
+        else:
+            raise ValueError(discretize)
+        taus = np.asarray(time_steps, np.int64)[::-1]  # descending
+        ab = np.asarray(model.sched.alpha_bar, np.float64)
+        a_cur = ab[taus]
+        a_nxt = np.concatenate([ab[taus[1:]], np.ones(1)])
+        al_c, si_c = np.sqrt(a_cur), np.sqrt(1.0 - a_cur)
+        al_n, si_n = np.sqrt(a_nxt), np.sqrt(1.0 - a_nxt)
+        with np.errstate(divide="ignore"):
+            lam_c = np.log(al_c / si_c)
+            lam_n = np.log(al_n / si_n)  # +inf at the final (sigma=0) target
+        h = lam_n - lam_c
+        inv2r = np.zeros_like(h)
+        inv2r[1:] = h[1:] / (2.0 * h[:-1])
+        inv2r[~np.isfinite(inv2r)] = 0.0  # final step: lower-order
+        f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+        self.time_steps = taus
+        self.n_steps = len(taus)
+        self._scan_xs = (
+            jnp.asarray(taus.copy(), jnp.int32),
+            f32(al_c), f32(si_c), f32(al_n),
+            f32(si_n / np.maximum(si_c, 1e-20)),          # sigma ratio
+            f32((al_c * si_n) / (si_c * al_n) - 1.0),     # exp(-h) - 1
+            f32(inv2r),
+        )
+
+    def sample(self, key, shape, cond,
+               x_last: Optional[jnp.ndarray] = None,
+               uncond_scale: float = 1.0,
+               uncond_cond: Optional[jnp.ndarray] = None):
+        key, xkey = jax.random.split(key)
+        x = x_last if x_last is not None else jax.random.normal(
+            xkey, shape, dtype=jnp.float32)
+        n = shape[0]
+
+        def step(carry, xs):
+            x, x0_prev = carry
+            tau, ac, sc_, an, rt, e1m, i2r = xs
+            t = jnp.full((n,), tau, jnp.int32)
+            eps = cfg_eps(self.model.eps_fn, x, t, cond, uncond_cond,
+                          uncond_scale)
+            x0 = (x - sc_ * eps) / ac
+            d = (1.0 + i2r) * x0 - i2r * x0_prev
+            x = rt * x - an * e1m * d
+            return (x, x0), None
+
+        (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), self._scan_xs)
+        return x
+
+
 class DDPMSampler:
     """Full-T ancestral sampler with x0-parameterized posterior
     (sampler/ddpm.py:26-226)."""

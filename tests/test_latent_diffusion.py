@@ -23,6 +23,7 @@ from diffusionmodel_tpu.models.latent_diffusion.pipelines import (
 from diffusionmodel_tpu.models.latent_diffusion.samplers import (
     DDIMSampler,
     DDPMSampler,
+    DPMPPSampler,
     cfg_eps,
 )
 
@@ -117,6 +118,100 @@ def test_ddpm_sampler(tiny_ldm):
     out = s.sample(jax.random.PRNGKey(1), (1, 8, 8, 4), cond)
     assert out.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpmpp_sampler(tiny_ldm):
+    s = DPMPPSampler(tiny_ldm, n_steps=5)
+    cond = jnp.zeros((2, 7, 16))
+    out = s.sample(jax.random.PRNGKey(0), (2, 8, 8, 4), cond)
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic given the key (ODE solver, no ancestral noise)
+    out_again = s.sample(jax.random.PRNGKey(0), (2, 8, 8, 4), cond)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_again))
+    # CFG path
+    out2 = s.sample(jax.random.PRNGKey(0), (2, 8, 8, 4), cond,
+                    uncond_scale=7.5, uncond_cond=jnp.zeros_like(cond))
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def _analytic_ldm(T, eps_fn):
+    """LatentDiffusion wrapper around a closed-form eps for sampler math
+    tests (identity encode/decode; no network)."""
+    return LatentDiffusion(eps_fn, lambda z: z, lambda z: z, n_steps=T)
+
+
+def test_ldm_dpmpp_exact_eps_recovers_x0_any_step_count():
+    """Solver exactness: when the model returns the TRUE constant eps of a
+    trajectory x_t = alpha_t x0 + sigma_t eps, the x0-prediction is exact
+    at every visited tau, so DPM-Solver++(2M) must return x0 EXACTLY for
+    ANY step count — including through the degenerate final step where
+    the target is alpha_bar = 1 (sigma = 0) and the update collapses to
+    x = pred_x0."""
+    T = 100
+    eps_true = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 4, 2))
+
+    def eps_fn(x, t, c):
+        return jnp.broadcast_to(eps_true, x.shape)
+
+    model = _analytic_ldm(T, eps_fn)
+    ab = np.asarray(model.sched.alpha_bar, np.float64)
+    key = jax.random.PRNGKey(3)
+    # the sampler draws x from key's split — reconstruct it to derive the
+    # x0 the trajectory implies at each sampler's own starting tau
+    _, xkey = jax.random.split(key)
+    x_start = np.asarray(
+        jax.random.normal(xkey, (2, 4, 4, 2), dtype=jnp.float32))
+    cond = jnp.zeros((2, 3, 8))  # ignored by eps_fn
+    for k in (2, 3, 7, 20):
+        s = DPMPPSampler(model, n_steps=k)
+        a0 = ab[int(s.time_steps[0])]
+        x0_implied = (x_start - np.sqrt(1.0 - a0) * np.asarray(eps_true)
+                      ) / np.sqrt(a0)
+        got = np.asarray(s.sample(key, (2, 4, 4, 2), cond))
+        np.testing.assert_allclose(got, x0_implied, rtol=2e-4, atol=2e-4)
+
+
+def test_ldm_dpmpp_second_order_beats_ddim_on_curved_eps():
+    """On a trajectory whose true eps varies with t (curved probability-
+    flow ODE), the 2nd-order solver at K steps lands closer to its own
+    fine-grid solution than 1st-order DDIM does to ITS fine-grid solution
+    — per-family comparison so each family's t=0 endpoint convention
+    (DDIM targets alpha_bar[0], dpmpp targets 1) cancels out. Grids are
+    tau-aligned: with T=100, K=5 visits {1,21,41,61,81} and K=41 visits
+    {1,3,...,81} — both start at tau 81."""
+    T = 100
+
+    def eps_fn(x, t, c):
+        tt = (t.astype(jnp.float32) / T)[:, None, None, None]
+        return 0.6 * jnp.tanh(x) * (1.0 + tt) + 0.3 * jnp.sin(3.0 * tt)
+
+    model = _analytic_ldm(T, eps_fn)
+    key = jax.random.PRNGKey(11)
+    x_start = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 4, 2))
+    cond = jnp.zeros((2, 3, 8))
+    shape = (2, 4, 4, 2)
+
+    dp5, dp41 = (DPMPPSampler(model, n_steps=k) for k in (5, 41))
+    dd5, dd41 = (DDIMSampler(model, n_steps=k) for k in (5, 41))
+    assert int(dp5.time_steps[0]) == int(dd5.time_steps[-1]) == 81
+    assert int(dp41.time_steps[0]) == int(dd41.time_steps[-1]) == 81
+
+    def run(s):
+        return np.asarray(s.sample(key, shape, cond, x_last=x_start))
+
+    err_dp = np.abs(run(dp5) - run(dp41)).mean()
+    err_dd = np.abs(run(dd5) - run(dd41)).mean()
+    assert err_dp < err_dd, (err_dp, err_dd)
+
+
+def test_txt2img_accepts_dpmpp(tiny_ldm):
+    t2i = Txt2Img(tiny_ldm, embedder=None, sampler="dpmpp", n_steps=4)
+    cond = jnp.zeros((1, 7, 16))
+    img = t2i(jax.random.PRNGKey(0), cond=cond, batch_size=1, h=64, w=64,
+              uncond_scale=3.0)
+    assert img.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
 
 
 def test_pipelines_end_to_end(tiny_ldm):
