@@ -1,4 +1,4 @@
-"""Blockwise (flash) attention Pallas kernel — FORWARD ONLY.
+"""Blockwise (flash) attention Pallas kernels (forward + custom_vjp backward).
 
 The TPU analogue of the reference's optional CUDA FlashAttention in the
 Stable-Diffusion cross-attention (reference/stable_diffusion/model/
@@ -26,10 +26,24 @@ XLA). (1024, 4096) fails to compile (VMEM); the defaults below are the
 largest robust point. Sizes clamp to the (padded) sequence lengths, so
 short-N sites degenerate to a single-tile kernel automatically.
 
-Scope: forward pass only (no custom_vjp) — the LDM stretch stack is
-inference-only, like the reference's (SURVEY 2.6). Training through this
-kernel would differentiate the XLA fallback instead; use
-``force_xla=True`` there.
+Backward (round 3; lifts the round-2 "forward-only" scope): a
+``custom_vjp`` on the folded+padded core. The forward saves the per-row
+logsumexp L = m + log(l) (the standard flash residual, stored
+[BH, N, 128] — TPU scratch/lane layout); the backward recomputes P tiles
+on the fly in two streaming passes that never materialize [N, N]:
+
+  pass 1 (dQ):   grid (BH, N/bq, M/bk) — for each q tile, stream k/v/
+                 tiles: p = exp(s - L); ds = p * (do v^T - D);
+                 dq += scale * ds k,  D = rowsum(do * o) (recomputed
+                 in-register per tile — cheaper than storing it).
+  pass 2 (dK/dV): grid (BH, M/bk, N/bq) — for each k tile, stream q/do/o
+                 tiles: dv += p^T do; dk += scale * ds^T q.
+
+Zero-padded tails need no extra masking in the backward: the pad-VJP of
+the outer slice delivers zero cotangent rows, padded k rows are zero (so
+ds k contributions vanish), and the forward's column mask already shaped
+L; the k-column mask is still applied defensively. Gradients accumulate
+in fp32 scratch and cast back to the input dtype.
 
 Layout: q, k, v are [B, N, H, D] (heads folded into the grid).
 """
@@ -52,8 +66,12 @@ except ImportError:  # pragma: no cover
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                  block_k: int, m_actual: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest, block_k: int,
+                  m_actual: int, want_lse: bool):
+    if want_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -89,6 +107,188 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     @pl.when(kb == nk - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        if want_lse:
+            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
+
+
+def _flash_forward(qf, kf, vf, block_q: int, block_k: int, m_actual: int,
+                   interpret: bool, want_lse: bool):
+    """Folded/padded forward. Returns (out, lse|None); lse = per-row
+    logsumexp of the scaled scores, [BH, N, 128] (TPU lane layout)."""
+    bh, np_, d = qf.shape
+    mp = kf.shape[1]
+    out_shape = [jax.ShapeDtypeStruct(qf.shape, qf.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    if want_lse:
+        out_shape.append(jax.ShapeDtypeStruct((bh, np_, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, block_q, 128),
+                                      lambda i, j, kb: (i, j, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, m_actual=m_actual,
+                          want_lse=want_lse),
+        out_shape=out_shape,
+        grid=(bh, np_ // block_q, mp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),    # acc
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return (res[0], res[1]) if want_lse else (res[0], None)
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+                     acc_ref, *, block_k: int, m_actual: int):
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    scale = q.shape[-1] ** -0.5
+    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+    if m_actual % block_k:
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < m_actual, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    dcap = jnp.sum(do * o, axis=-1, keepdims=True)  # D = rowsum(dO*O)
+    ds = p * (dp - dcap)
+    acc_ref[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref,
+                      dv_ref, dk_acc, dv_acc, *, block_k: int, m_actual: int):
+    qb = pl.program_id(2)
+    nq = pl.num_programs(2)
+    kb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    scale = q.shape[-1] ** -0.5
+    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+    if m_actual % block_k:
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < m_actual, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    dcap = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = p * (dp - dcap)
+    # contract over the q-row axis (axis 0 of both operands): p^T do, ds^T q
+    dims = (((0,), (0,)), ((), ()))
+    dv_acc[:] += jax.lax.dot_general(p, do, dims,
+                                     preferred_element_type=jnp.float32)
+    dk_acc[:] += jax.lax.dot_general(ds, q, dims,
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(qb == nq - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_core(block_q: int, block_k: int, m_actual: int, interpret: bool,
+                qf, kf, vf):
+    """Differentiable folded/padded core: [BH, Np, D] x [BH, Mp, D]^2 ->
+    [BH, Np, D]. Pad/fold/slice live OUTSIDE so their VJPs (zero-fill /
+    slice) come from XLA for free."""
+    out, _ = _flash_forward(qf, kf, vf, block_q, block_k, m_actual,
+                            interpret, want_lse=False)
+    return out
+
+
+def _flash_core_fwd(block_q, block_k, m_actual, interpret, qf, kf, vf):
+    out, lse = _flash_forward(qf, kf, vf, block_q, block_k, m_actual,
+                              interpret, want_lse=True)
+    return out, (qf, kf, vf, out, lse)
+
+
+def _bwd_tile(size: int, cap: int) -> int:
+    """Largest power-of-two fraction of ``size`` that is <= cap (the
+    backward holds ~2x the forward's tiles in VMEM, so it runs smaller
+    blocks; any halving of the forward tile still divides the padded
+    sequence)."""
+    while size > cap:
+        size //= 2
+    return size
+
+
+def _flash_core_bwd(block_q, block_k, m_actual, interpret, res, g):
+    qf, kf, vf, of, lse = res
+    bh, np_, d = qf.shape
+    mp = kf.shape[1]
+    bq = _bwd_tile(block_q, 256)
+    bk = _bwd_tile(block_k, 1024)
+
+    q_spec = pl.BlockSpec((1, bq, d), lambda i, j, kb: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, bk, d), lambda i, j, kb: (i, kb, 0),
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, bq, 128), lambda i, j, kb: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, block_k=bk, m_actual=m_actual),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, qf.dtype),
+        grid=(bh, np_ // bq, mp // bk),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
+        out_specs=q_spec,
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=interpret,
+    )(qf, kf, vf, g, of, lse)
+
+    # dK/dV pass: k tiles in the middle grid dim, q tiles stream innermost
+    q_spec2 = pl.BlockSpec((1, bq, d), lambda i, kb, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, bk, d), lambda i, kb, j: (i, kb, 0),
+                            memory_space=pltpu.VMEM)
+    lse_spec2 = pl.BlockSpec((1, bq, 128), lambda i, kb, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, block_k=bk, m_actual=m_actual),
+        out_shape=[jax.ShapeDtypeStruct(kf.shape, kf.dtype),
+                   jax.ShapeDtypeStruct(vf.shape, vf.dtype)],
+        grid=(bh, mp // bk, np_ // bq),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, q_spec2, lse_spec2],
+        out_specs=[kv_spec2, kv_spec2],
+        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                        pltpu.VMEM((bk, d), jnp.float32)],
+        interpret=interpret,
+    )(qf, kf, vf, g, of, lse)
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def attention_xla(q, k, v):
@@ -113,9 +313,10 @@ def _pad_to(x, axis: int, mult: int):
                                              "force_xla", "interpret"))
 def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048,
                     force_xla: bool = False, interpret: bool = False):
-    """q: [B,N,H,D]; k, v: [B,M,H,D]. Returns [B,N,H,D]. Forward only
-    (see module docstring); off-TPU (without ``interpret``) or with
-    ``force_xla`` it computes the identical einsum attention in XLA."""
+    """q: [B,N,H,D]; k, v: [B,M,H,D]. Returns [B,N,H,D]. Differentiable
+    (custom_vjp streaming backward — see module docstring); off-TPU
+    (without ``interpret``) or with ``force_xla`` it computes the
+    identical einsum attention in XLA."""
     b, n, h, d = q.shape
     m = k.shape[1]
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -127,35 +328,14 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048,
 
     # fold heads into batch: [B*H, N, D]; pad tails to block multiples
     # (padded K/V columns are masked inside the kernel; padded Q rows are
-    # sliced off below).
+    # sliced off below — both pad and slice differentiate in XLA).
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, m, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, m, d)
     qf = _pad_to(qf, 1, block_q)
     kf = _pad_to(kf, 1, block_k)
     vf = _pad_to(vf, 1, block_k)
-    np_, mp = qf.shape[1], kf.shape[1]
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, m_actual=m),
-        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
-        grid=(b * h, np_ // block_q, mp // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),    # acc
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
-        ],
-        interpret=interpret,
-    )(qf, kf, vf)
+    out = _flash_core(block_q, block_k, m, interpret, qf, kf, vf)
     out = out[:, :n]
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

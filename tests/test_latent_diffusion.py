@@ -315,3 +315,48 @@ def test_flash_attention_nondivisible_masks_tail():
                                       interpret=True))
     want2 = np.asarray(attention_xla(q2, q2, q2))
     np.testing.assert_allclose(got2, want2, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_backward_matches_xla():
+    """custom_vjp streaming backward (round 3, lifting the round-2
+    forward-only scope): full VJP against XLA einsum attention, on
+    block-divisible AND zero-padded (non-divisible) shapes — the pad/
+    slice VJPs must deliver zero cotangents into the padded tails."""
+    key = jax.random.PRNGKey(0)
+    for (n, m, d) in [(256, 256, 64), (250, 200, 32)]:
+        kq, kk, kv, kg = jax.random.split(jax.random.fold_in(key, n), 4)
+        q = jax.random.normal(kq, (2, n, 2, d), jnp.float32)
+        k = jax.random.normal(kk, (2, m, 2, d), jnp.float32)
+        v = jax.random.normal(kv, (2, m, 2, d), jnp.float32)
+
+        def f_flash(q, k, v):
+            return flash_attention(q, k, v, block_q=128, block_k=128,
+                                   interpret=True)
+
+        out_x, vjp_x = jax.vjp(attention_xla, q, k, v)
+        out_f, vjp_f = jax.vjp(f_flash, q, k, v)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                                   rtol=2e-4, atol=2e-5)
+        g = jax.random.normal(kg, out_x.shape, jnp.float32)
+        for name, a, b in zip("qkv", vjp_f(g), vjp_x(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5,
+                                       err_msg=f"d{name} (n={n})")
+
+
+def test_flash_attention_grad_trains_through_loss():
+    """A scalar loss through the kernel yields finite, nonzero grads —
+    the use_flash path is now legal in training contexts."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(kq, (1, 128, 2, 32), jnp.float32)
+    k = jax.random.normal(kk, (1, 128, 2, 32), jnp.float32)
+    v = jax.random.normal(kv, (1, 128, 2, 32), jnp.float32)
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+        return jnp.sum(o ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for garr in (dq, dk, dv):
+        arr = np.asarray(garr)
+        assert np.isfinite(arr).all() and np.abs(arr).max() > 0
