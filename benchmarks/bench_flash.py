@@ -78,6 +78,39 @@ def main():
     jx = chain(attention_xla)
     jfl = chain(flash_attention)
 
+    # --- backward (round 3: streaming custom_vjp) -----------------------
+    # grad of a scalar loss through REPS_B chained attentions: times
+    # fwd+bwd together (the training-step shape of the cost). XLA's bwd
+    # re-materializes the [N,N] score matrix; the kernel streams it.
+    REPS_B = 4
+
+    def chain_grad(attn):
+        def loss(q, k, v):
+            def body(q, _):
+                return attn(q, k, v).astype(q.dtype), None
+
+            q, _ = jax.lax.scan(body, q, None, length=REPS_B)
+            return jnp.sum(q.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))
+
+        def f(q, k, v):
+            dq, dk, dv = g(q, k, v)
+            return (jnp.mean(dq.astype(jnp.float32))
+                    + jnp.mean(dk.astype(jnp.float32))
+                    + jnp.mean(dv.astype(jnp.float32)))
+
+        return jax.jit(f)
+
+    jgx = chain_grad(attention_xla)
+    jgf = chain_grad(flash_attention)
+
+    bwd_sites = [
+        ("bwd aligned N=4096 d=64", 2, 4096, 8, 64),
+        ("bwd batch8  N=4096 d=64", 8, 4096, 8, 64),
+        ("bwd long-ctx N=16384 d=64", 1, 16384, 8, 64),
+    ]
+
     for label, b, n, h, d in sites:
         ks = jax.random.split(key, 3)
         q = jax.random.normal(ks[0], (b, n, h, d), jnp.bfloat16)
@@ -91,6 +124,32 @@ def main():
         t_f = timeit(lambda: jfl(q, k, v)) / REPS
         # attention FLOPs: 2 matmuls, 2*N*N*D each, per batch*head
         flops = 2 * 2 * b * h * n * n * d
+        print(json.dumps({
+            "site": label,
+            "xla_ms": round(t_x * 1e3, 2) if t_x else xla_err,
+            "flash_ms": round(t_f * 1e3, 2),
+            "speedup": round(t_x / t_f, 2) if t_x else None,
+            "flash_tflops": round(flops / t_f / 1e12, 1),
+        }), flush=True)
+
+    for label, b, n, h, d in bwd_sites:
+        ks = jax.random.split(jax.random.fold_in(key, n + b), 3)
+        q = jax.random.normal(ks[0], (b, n, h, d), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (b, n, h, d), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (b, n, h, d), jnp.bfloat16)
+        try:
+            t_x = timeit(lambda: jgx(q, k, v), n=4) / REPS_B
+        except Exception as e:
+            t_x, xla_err = None, f"{type(e).__name__}"
+        try:
+            t_f = timeit(lambda: jgf(q, k, v), n=4) / REPS_B
+        except Exception as e:
+            print(json.dumps({"site": label,
+                              "error": f"{type(e).__name__}: {e}"[:160]}),
+                  flush=True)
+            continue
+        # fwd (2 matmuls) + bwd (5 matmuls) per attention
+        flops = 7 * 2 * b * h * n * n * d
         print(json.dumps({
             "site": label,
             "xla_ms": round(t_x * 1e3, 2) if t_x else xla_err,
