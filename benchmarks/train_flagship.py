@@ -65,6 +65,11 @@ def main() -> None:
     ap.add_argument("--ema-decay", type=float, default=0.0,
                     help="maintain an EMA shadow of the params "
                          "(checkpoint consumers prefer it for sampling)")
+    ap.add_argument("--best-min-epochs", type=int, default=10,
+                    help="rate-limit the best-state device fetch (each "
+                         "fetch stalls ~2-7 min on this tunneled host); "
+                         "set very large for legs whose artifact of "
+                         "record is the final checkpoint")
     args = ap.parse_args()
 
     from benchmarks.bench_quality import ensure_crops
@@ -85,7 +90,7 @@ def main() -> None:
         # tunneled-device fetch costs ~1 min; early epochs improve every
         # epoch, so rate-limit the best-state snapshot (bookkeeping stays
         # exact per-epoch)
-        "train.best_snapshot_min_epochs": 10,
+        "train.best_snapshot_min_epochs": args.best_min_epochs,
     }
     if args.lr is not None:
         overrides["train.lr"] = args.lr
