@@ -52,8 +52,15 @@ run_leg() {  # run_leg <final_epoch_0based> <epochs> [extra flags...]
         local n; n=$(newest_ckpt)
         if [ -n "${n:-}" ]; then resume_flag=(--resume "$OUT/ckpt_ep$n"); fi
         echo "[pipeline $(date -u +%H:%M:%S)] leg to ep$final attempt $attempt ${resume_flag[*]:-fresh}"
+        # --save-freq 25: the tunneled TPU crashed a 70-epoch leg at epoch
+        # ~56 before its first periodic save (default 60) and the retry had
+        # nothing to resume from — cap the loss at 25 epochs. Best-state
+        # fetches stall 2-11 min each on this host and the legs' artifact
+        # of record is the final checkpoint, so disable them (later flags
+        # from "$@" still override --save-freq).
         run_py benchmarks/train_flagship.py --epochs "$epochs" \
-            --ema-decay 0.9995 "${resume_flag[@]}" "$@"
+            --ema-decay 0.9995 --save-freq 25 --best-min-epochs 1000 \
+            "${resume_flag[@]}" "$@"
     done
     [ -d "$OUT/ckpt_ep$final" ]
 }
