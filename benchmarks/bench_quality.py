@@ -102,6 +102,15 @@ def fid_from_feats(rf, gf, np):
                             gf.mean(0), np.cov(gf, rowvar=False))
 
 
+def kid_x1000(rf, gf):
+    """KID (x1000, the conventional scale) on the same proxy features.
+    Unbiased at n=100 gen images, unlike FID's covariance estimate."""
+    from diffusionmodel_tpu.metrics.image_metrics import kid_from_feats
+
+    mean, std = kid_from_feats(rf, gf)
+    return round(mean * 1000, 4), round(std * 1000, 4)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=os.path.join(OUT_DIR, "best_model"))
@@ -208,19 +217,25 @@ def main() -> None:
     gates = doc.setdefault("gates", {})
 
     # one-off metric calibration: holdout floor vs noise ceiling
-    if "sensitivity" not in doc:
+    # (kid_proxy added round 3: re-runs just the KID part on old docs)
+    if "sensitivity" not in doc or \
+            "kid_proxy_x1000_real_halves" not in doc["sensitivity"]:
         rng = np.random.RandomState(0)
         perm = rng.permutation(len(rf_all))
         half_a, half_b = perm[: len(perm) // 2], perm[len(perm) // 2:]
         noise = rng.randn(100, 256, 256, 3).astype(np.float32)
         nf = metrics.extract_features(np.clip(noise, -1, 1))
-        doc["sensitivity"] = {
-            "fid_proxy_real_halves": round(
-                fid_from_feats(rf_all[half_a], rf_all[half_b], np), 4),
-            "fid_proxy_real_vs_noise": round(
-                fid_from_feats(rf_all, nf, np), 4),
-        }
-        print(json.dumps({"stage": "sensitivity", **doc["sensitivity"]}),
+        sens = doc.setdefault("sensitivity", {})
+        if "fid_proxy_real_halves" not in sens:
+            sens["fid_proxy_real_halves"] = round(
+                fid_from_feats(rf_all[half_a], rf_all[half_b], np), 4)
+            sens["fid_proxy_real_vs_noise"] = round(
+                fid_from_feats(rf_all, nf, np), 4)
+        kh, _ = kid_x1000(rf_all[half_a], rf_all[half_b])
+        kn, _ = kid_x1000(rf_all, nf)
+        sens["kid_proxy_x1000_real_halves"] = kh
+        sens["kid_proxy_x1000_real_vs_noise"] = kn
+        print(json.dumps({"stage": "sensitivity", **sens}),
               flush=True)
 
     chunk_pc = args.chunk_per_class
@@ -274,9 +289,11 @@ def main() -> None:
             pairs.extend(zip(rc[:m], gc[:m]))
         ssim = float(np.mean([calc_ssim(r_, g_) for r_, g_ in pairs]))
         psnr = float(np.mean([calc_psnr(r_, g_) for r_, g_ in pairs]))
+        kid_mean, kid_std = kid_x1000(rf_all, gf)
         rec = {
             "n_gen": int(len(gen)),
             "fid_proxy_vs_full_real": round(fid_from_feats(rf_all, gf, np), 4),
+            "kid_proxy_x1000": kid_mean, "kid_proxy_x1000_std": kid_std,
             "ssim": round(ssim, 4), "psnr": round(psnr, 4),
             "seconds": round(secs, 1),
             "images_per_min": round(len(gen) * 60 / secs, 2),
@@ -301,9 +318,11 @@ def main() -> None:
                                   jnp.float32(4.0)))
         secs = time.time() - t0
         gf = metrics.extract_features(gen)
+        kid_mean, kid_std = kid_x1000(rf_all, gf)
         rec = {
             "n_gen": int(len(gen)),
             "fid_proxy_vs_full_real": round(fid_from_feats(rf_all, gf, np), 4),
+            "kid_proxy_x1000": kid_mean, "kid_proxy_x1000_std": kid_std,
             "seconds": round(secs, 1),
             "images_per_min": round(len(gen) * 60 / secs, 2),
         }

@@ -1,1 +1,5 @@
-from diffusionmodel_tpu.metrics.image_metrics import ImageMetrics  # noqa: F401
+from diffusionmodel_tpu.metrics.image_metrics import (  # noqa: F401
+    ImageMetrics,
+    kid_from_feats,
+    polynomial_mmd2,
+)

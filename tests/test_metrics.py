@@ -103,3 +103,34 @@ def test_fid_discriminates_distributions():
     fid_diff = m.calc_fid(a, c)
     assert np.isfinite(fid_same) and np.isfinite(fid_diff)
     assert fid_diff > fid_same
+
+
+def test_polynomial_mmd2_unbiased_near_zero_on_same_dist():
+    from diffusionmodel_tpu.metrics.image_metrics import polynomial_mmd2
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(200, 16)
+    y = rng.randn(200, 16)
+    same = polynomial_mmd2(x, y)
+    # unbiased estimator: near zero (can be slightly negative) on
+    # identically distributed sets; large under a clear mean shift
+    shifted = polynomial_mmd2(x, y + 1.0)
+    assert abs(same) < 0.5
+    assert shifted > 10 * abs(same)
+
+
+def test_kid_from_feats_orders_distances():
+    from diffusionmodel_tpu.metrics.image_metrics import kid_from_feats
+
+    rng = np.random.RandomState(9)
+    real = rng.randn(300, 32)
+    near = rng.randn(120, 32) + 0.1
+    far = rng.randn(120, 32) + 1.5
+    kid_near, std_near = kid_from_feats(real, near, n_subsets=20,
+                                        subset_size=64)
+    kid_far, _ = kid_from_feats(real, far, n_subsets=20, subset_size=64)
+    assert kid_far > kid_near
+    assert std_near >= 0.0
+    # deterministic for a fixed seed
+    again, _ = kid_from_feats(real, near, n_subsets=20, subset_size=64)
+    assert again == pytest.approx(kid_near)
