@@ -72,6 +72,7 @@ def save_checkpoint(path: str, payload: Dict[str, Any],
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, payload, force=True)
         return path
+    import glob
     import shutil
 
     tmp_dir = f"{path}.tmp-{os.getpid()}"
@@ -79,8 +80,23 @@ def save_checkpoint(path: str, payload: Dict[str, Any],
     with open(os.path.join(tmp_dir, _PICKLE_NAME), "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(tmp_dir, path)
+        # Swap via rename-aside, NOT rmtree-then-rename: a kill landing
+        # between rmtree and rename would destroy the only copy (this
+        # host's pipeline kills long jobs at its deadline as a matter of
+        # course). With rename-aside every instant has either the old or
+        # the new checkpoint reachable (the loader also knows to fall
+        # back to a stranded ``.old-*`` dir).
+        old_dir = f"{path}.old-{os.getpid()}"
+        os.rename(path, old_dir)
+        os.rename(tmp_dir, path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+    else:
+        os.rename(tmp_dir, path)
+    # best-effort cleanup of leftovers from previously killed writers of
+    # THIS checkpoint name (their PIDs are gone; the dirs are dead weight
+    # and confuse "newest checkpoint" globs)
+    for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     return path
 
 
@@ -98,6 +114,14 @@ def load_checkpoint(path: str, arch: Optional[str] = None,
     if path.endswith(".pkl"):
         with open(path, "rb") as f:
             return pickle.load(f)
+    if not os.path.isdir(path):
+        # recover from a save interrupted between its two renames: the
+        # previous checkpoint survives as ``<path>.old-<pid>``
+        import glob
+
+        stranded = sorted(glob.glob(f"{path}.old-*"), key=os.path.getmtime)
+        if stranded:
+            path = stranded[-1]
     if os.path.isdir(path) and os.path.exists(
             os.path.join(path, _PICKLE_NAME)):
         with open(os.path.join(path, _PICKLE_NAME), "rb") as f:

@@ -368,6 +368,38 @@ def sample_cfg_ddim(
     return x
 
 
+def dpmpp_terms(a_cur, a_nxt):
+    """Shared DPM-Solver++(2M) per-step terms from (alphabar_k,
+    alphabar_{k+1}) pairs — the numerically delicate float64 math
+    (lambda = log(alpha/sigma), exp(-h) computed directly as
+    (alpha_cur sigma_nxt)/(sigma_cur alpha_nxt) so it stays finite at
+    the sigma=0 final target, 1/(2r) with the inf-scrub giving the
+    exact lower-order first and final steps) lives ONCE here; both the
+    main family (:func:`_dpmpp_coeffs`) and the LDM family
+    (models/latent_diffusion/samplers.DPMPPSampler) build their scan
+    inputs from it. Returns fp32 jnp arrays
+    (al_cur, si_cur, al_nxt, sigma_ratio, expm1_neg_h, inv2r)."""
+    import numpy as np
+
+    a_cur = np.asarray(a_cur, np.float64)
+    a_nxt = np.asarray(a_nxt, np.float64)
+    al_c, si_c = np.sqrt(a_cur), np.sqrt(1.0 - a_cur)
+    al_n, si_n = np.sqrt(a_nxt), np.sqrt(1.0 - a_nxt)
+    with np.errstate(divide="ignore"):
+        lam_c = np.log(al_c / si_c)
+        lam_n = np.log(al_n / si_n)  # +inf at a final (sigma=0) target
+    h = lam_n - lam_c
+    inv2r = np.zeros_like(h)
+    inv2r[1:] = h[1:] / (2.0 * h[:-1])
+    inv2r[~np.isfinite(inv2r)] = 0.0  # first/final step: lower-order
+    return tuple(jnp.asarray(v, jnp.float32) for v in (
+        al_c, si_c, al_n,
+        si_n / np.maximum(si_c, 1e-20),
+        (al_c * si_n) / (si_c * al_n) - 1.0,
+        inv2r,
+    ))
+
+
 def _dpmpp_coeffs(sched: Schedule, n_T: int, n_steps: int,
                   discretize: str):
     """Host-side per-step coefficients for DPM-Solver++(2M) over the MAIN
@@ -389,19 +421,8 @@ def _dpmpp_coeffs(sched: Schedule, n_T: int, n_steps: int,
                                                 np.float64)[1:]])
     a_cur = ab[taus]
     a_nxt = ab[np.concatenate([taus[1:], np.zeros(1, np.int64)])]
-    al_c, si_c = np.sqrt(a_cur), np.sqrt(1.0 - a_cur)
-    al_n, si_n = np.sqrt(a_nxt), np.sqrt(1.0 - a_nxt)
-    with np.errstate(divide="ignore"):
-        lam_c = np.log(al_c / si_c)
-        lam_n = np.log(al_n / si_n)  # +inf at the final (sigma=0) target
-    h = lam_n - lam_c
-    inv2r = np.zeros_like(h)
-    inv2r[1:] = h[1:] / (2.0 * h[:-1])
-    inv2r[~np.isfinite(inv2r)] = 0.0  # final step: lower-order
-    f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
-    return (jnp.asarray(taus.copy(), jnp.int32), f32(al_c), f32(si_c),
-            f32(al_n), f32(si_n / np.maximum(si_c, 1e-20)),
-            f32((al_c * si_n) / (si_c * al_n) - 1.0), f32(inv2r))
+    return (jnp.asarray(taus.copy(), jnp.int32),
+            *dpmpp_terms(a_cur, a_nxt))
 
 
 def sample_cfg_dpmpp(

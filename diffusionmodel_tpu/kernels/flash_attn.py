@@ -235,13 +235,21 @@ def _flash_core_fwd(block_q, block_k, m_actual, interpret, qf, kf, vf):
 
 
 def _bwd_tile(size: int, cap: int) -> int:
-    """Largest power-of-two fraction of ``size`` that is <= cap (the
-    backward holds ~2x the forward's tiles in VMEM, so it runs smaller
-    blocks; any halving of the forward tile still divides the padded
-    sequence)."""
+    """Largest halving of the (power-of-two) forward tile that is <= cap
+    (the backward holds ~2x the forward's tiles in VMEM, so it runs
+    smaller blocks). ``flash_attention`` guarantees tiles are powers of
+    two — halving a non-power-of-two tile would stop dividing the padded
+    sequence and silently drop the tail tile from the backward grid."""
     while size > cap:
         size //= 2
     return size
+
+
+def _pow2_at_least(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def _flash_core_bwd(block_q, block_k, m_actual, interpret, res, g):
@@ -320,8 +328,20 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048,
     b, n, h, d = q.shape
     m = k.shape[1]
     on_tpu = jax.devices()[0].platform == "tpu"
-    block_q = min(block_q, n)
-    block_k = min(block_k, m)
+    if block_q & (block_q - 1) or block_k & (block_k - 1):
+        raise ValueError(
+            f"flash_attention block sizes must be powers of two, got "
+            f"block_q={block_q}, block_k={block_k} — the backward derives "
+            f"its tiles by halving and a non-power-of-two tile would drop "
+            f"the sequence tail from the gradient grid")
+    # Clamp to the next power of two AT OR ABOVE the sequence length (not
+    # the raw length): the pad below then makes the padded length a
+    # multiple of a power-of-two tile, so every backward halving divides
+    # it. Clamping to a raw odd length (e.g. n=257 -> tile 257, backward
+    # tile 128, grid 257//128=2) would silently leave the tail rows of
+    # dq/dk/dv unwritten.
+    block_q = min(block_q, _pow2_at_least(n))
+    block_k = min(block_k, _pow2_at_least(m))
     use_pallas = _HAS_PALLAS and (on_tpu or interpret)
     if force_xla or not use_pallas:
         return attention_xla(q, k, v)

@@ -175,25 +175,15 @@ class DPMPPSampler:
         ab = np.asarray(model.sched.alpha_bar, np.float64)
         a_cur = ab[taus]
         a_nxt = np.concatenate([ab[taus[1:]], np.ones(1)])
-        al_c, si_c = np.sqrt(a_cur), np.sqrt(1.0 - a_cur)
-        al_n, si_n = np.sqrt(a_nxt), np.sqrt(1.0 - a_nxt)
-        with np.errstate(divide="ignore"):
-            lam_c = np.log(al_c / si_c)
-            lam_n = np.log(al_n / si_n)  # +inf at the final (sigma=0) target
-        h = lam_n - lam_c
-        inv2r = np.zeros_like(h)
-        inv2r[1:] = h[1:] / (2.0 * h[:-1])
-        inv2r[~np.isfinite(inv2r)] = 0.0  # final step: lower-order
-        f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+        # the delicate float64 term math is shared with the main family
+        # (diffusion.dpmpp_terms) — only the tau/alphabar indexing
+        # conventions differ per family
+        from diffusionmodel_tpu.diffusion import dpmpp_terms
+
         self.time_steps = taus
         self.n_steps = len(taus)
-        self._scan_xs = (
-            jnp.asarray(taus.copy(), jnp.int32),
-            f32(al_c), f32(si_c), f32(al_n),
-            f32(si_n / np.maximum(si_c, 1e-20)),          # sigma ratio
-            f32((al_c * si_n) / (si_c * al_n) - 1.0),     # exp(-h) - 1
-            f32(inv2r),
-        )
+        self._scan_xs = (jnp.asarray(taus.copy(), jnp.int32),
+                         *dpmpp_terms(a_cur, a_nxt))
 
     def sample(self, key, shape, cond,
                x_last: Optional[jnp.ndarray] = None,

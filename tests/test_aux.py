@@ -89,6 +89,29 @@ def test_checkpoint_roundtrip_dir_pickle(tmp_path):
     assert load_checkpoint(p)["epoch"] == 10
 
 
+def test_checkpoint_overwrite_survives_interrupted_swap(tmp_path):
+    """The dir-overwrite swap is rename-aside (never rmtree-then-rename):
+    a crash between the two renames leaves the previous checkpoint as
+    <path>.old-<pid>, which load_checkpoint falls back to; a successful
+    later save cleans stale .tmp-*/.old-* leftovers."""
+    import shutil
+
+    target = str(tmp_path / "ck_dir")
+    save_checkpoint(target, {"epoch": 1, "params": {"w": np.ones(2)}})
+    # simulate the crash window: old renamed aside, new rename never ran
+    os.rename(target, target + ".old-99999")
+    back = load_checkpoint(target)  # falls back to the stranded .old dir
+    assert back["epoch"] == 1
+    # a stale tmp dir from a killed writer must not break the next save
+    os.makedirs(target + ".tmp-88888")
+    save_checkpoint(target, {"epoch": 2, "params": {"w": np.zeros(2)}})
+    assert load_checkpoint(target)["epoch"] == 2
+    import glob
+
+    assert glob.glob(target + ".tmp-*") == []
+    assert glob.glob(target + ".old-*") == []
+
+
 def test_ckpt_writer_coalesces_and_drains(tmp_path):
     from diffusionmodel_tpu.trainer import _CkptWriter
 

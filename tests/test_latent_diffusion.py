@@ -360,3 +360,35 @@ def test_flash_attention_grad_trains_through_loss():
     for garr in (dq, dk, dv):
         arr = np.asarray(garr)
         assert np.isfinite(arr).all() and np.abs(arr).max() > 0
+
+
+def test_flash_attention_backward_odd_length_clamped_block():
+    """Regression: an odd sequence length shorter than the default block
+    used to clamp the tile to the raw length (e.g. 67), whose backward
+    halving (33 -> floor) no longer divided the padded sequence — the
+    grid silently dropped the tail rows of dq/dk/dv. Blocks now clamp to
+    the next power of two, so gradients cover every row."""
+    key = jax.random.PRNGKey(7)
+    for (n, m) in [(67, 67), (257, 130)]:
+        kq, kk, kv, kg = jax.random.split(jax.random.fold_in(key, n), 4)
+        q = jax.random.normal(kq, (1, n, 1, 32), jnp.float32)
+        k = jax.random.normal(kk, (1, m, 1, 32), jnp.float32)
+        v = jax.random.normal(kv, (1, m, 1, 32), jnp.float32)
+
+        def f_flash(q, k, v):
+            # default-sized blocks >> n force the clamp path
+            return flash_attention(q, k, v, block_q=512, block_k=2048,
+                                   interpret=True)
+
+        out_x, vjp_x = jax.vjp(attention_xla, q, k, v)
+        out_f, vjp_f = jax.vjp(f_flash, q, k, v)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                                   rtol=2e-4, atol=2e-5)
+        g = jax.random.normal(kg, out_x.shape, jnp.float32)
+        for name, a, b in zip("qkv", vjp_f(g), vjp_x(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5,
+                                       err_msg=f"d{name} (n={n}, m={m})")
+    with pytest.raises(ValueError, match="powers of two"):
+        flash_attention(jnp.zeros((1, 8, 1, 8)), jnp.zeros((1, 8, 1, 8)),
+                        jnp.zeros((1, 8, 1, 8)), block_q=96, interpret=True)
