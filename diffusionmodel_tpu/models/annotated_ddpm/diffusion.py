@@ -133,3 +133,46 @@ class DenoiseDiffusion:
 
         (x, _), _ = jax.lax.scan(step, (xt, key), steps)
         return x
+
+
+def make_textbook_chunk_fn(model, dc, n_sample: int, img_shape,
+                           use_bn: bool):
+    """Shared textbook-family sampling adapter (used by BOTH
+    trainer.make_sampler's textbook branch and serving.SamplerService —
+    the eps-fn call convention below is the annotated-DDPM contract and
+    must not drift between them): returns
+    ``chunk_fn(params, batch_stats, x, key, steps)`` suitable for
+    ``diffusion.sample_cfg_chunked`` with ``steps = n_T-1 .. 0`` and
+    ``pad_value=-1`` (see :func:`textbook_chunk_steps`).
+
+    The adapter feeds the class/context-free stubs the DdpmUNet apply
+    expects (zero class ids, float timesteps, zero context mask, no
+    attention mask) and drives the textbook ancestral ``sample`` over the
+    provided step slice."""
+    import jax.numpy as jnp
+
+    def chunk_fn(params, batch_stats, x, key, steps):
+        def eps_fn(xx, tt):
+            variables = {"params": params}
+            if use_bn:
+                variables["batch_stats"] = batch_stats
+            nb = xx.shape[0]
+            return model.apply(variables, xx,
+                               jnp.zeros((nb,), jnp.int32),
+                               tt.astype(jnp.float32),
+                               jnp.zeros((nb,), jnp.float32),
+                               attn_mask=None, train=False)
+
+        dd = DenoiseDiffusion(eps_fn, dc.n_T, dc.beta1, dc.beta2)
+        return dd.sample(key, n_sample, img_shape, steps=steps, x_init=x)
+
+    return chunk_fn
+
+
+def textbook_chunk_steps(n_T: int):
+    """The chunk-driver step sequence for the textbook family: t counts
+    n_T-1 down to 0 (t in [0, T), unlike the main family's 1..T), padded
+    with the gated -1 sentinel by the driver."""
+    import numpy as np
+
+    return np.arange(n_T - 1, -1, -1, dtype=np.int32)

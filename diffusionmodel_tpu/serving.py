@@ -109,27 +109,16 @@ class SamplerService:
             # annotated-DDPM family: unconditional textbook ancestral
             # sampling (reference/ddpm/__init__.py:230-255); classes pick
             # slot counts only, guide_w is ignored (no CFG training).
+            # eps-fn adapter + step contract shared with
+            # trainer.make_sampler's textbook branch
             from diffusionmodel_tpu.diffusion import sample_cfg_chunked
             from diffusionmodel_tpu.models.annotated_ddpm.diffusion import (
-                DenoiseDiffusion,
+                make_textbook_chunk_fn,
+                textbook_chunk_steps,
             )
 
-            def chunk_tb(params, batch_stats, x, key, steps):
-                def eps_fn(xx, tt):
-                    variables = {"params": params}
-                    if batch_stats:
-                        variables["batch_stats"] = batch_stats
-                    nb = xx.shape[0]
-                    return model.apply(variables, xx,
-                                       jnp.zeros((nb,), jnp.int32),
-                                       tt.astype(jnp.float32),
-                                       jnp.zeros((nb,), jnp.float32),
-                                       attn_mask=None, train=False)
-
-                dd = DenoiseDiffusion(eps_fn, dc.n_T, dc.beta1, dc.beta2)
-                return dd.sample(key, max_batch, shape, steps=steps,
-                                 x_init=x)
-
+            chunk_tb = make_textbook_chunk_fn(
+                model, dc, max_batch, shape, use_bn=bool(self._batch_stats))
             jchunk_tb = (jax.jit(chunk_tb) if mesh is None else
                          jax.jit(chunk_tb,
                                  in_shardings=(None, None, xshard, None,
@@ -142,8 +131,7 @@ class SamplerService:
                         p, self._batch_stats, x, k, s),
                     self._params, key, max_batch, shape, dc, guide_w,
                     chunk=min(chunk, dc.n_T), x_sharding=xshard,
-                    steps=np.arange(dc.n_T - 1, -1, -1, dtype=np.int32),
-                    pad_value=-1)
+                    steps=textbook_chunk_steps(dc.n_T), pad_value=-1)
 
             kind = "textbook"
         elif kind in ("ddim", "dpmpp"):

@@ -109,42 +109,25 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
     if dc.schedule_family == "textbook":
         # annotated-DDPM family: unconditional textbook ancestral sampling
         # (reference/ddpm/__init__.py:230-255); guide_w/classes are ignored.
+        # The eps-fn adapter + step contract are shared with serving
+        # (models/annotated_ddpm.make_textbook_chunk_fn).
         from diffusionmodel_tpu.models.annotated_ddpm.diffusion import (
-            DenoiseDiffusion,
+            make_textbook_chunk_fn,
+            textbook_chunk_steps,
         )
 
-        def _apply_tb(params, batch_stats):
-            def eps_fn(xx, tt):
-                variables = {"params": params}
-                if has_bn:
-                    variables["batch_stats"] = batch_stats
-                nb = xx.shape[0]
-                return model.apply(variables, xx,
-                                   jnp.zeros((nb,), jnp.int32),
-                                   tt.astype(jnp.float32),
-                                   jnp.zeros((nb,), jnp.float32),
-                                   attn_mask=None, train=False)
-
-            return eps_fn
-
-        def jchunk_tb(params, batch_stats, x, key, steps):
-            dd = DenoiseDiffusion(_apply_tb(params, batch_stats), dc.n_T,
-                                  dc.beta1, dc.beta2)
-            return dd.sample(key, n_sample, shape, steps=steps, x_init=x)
-
-        jchunk_tb = _jit_sampler(jchunk_tb, (xshard, rep, rep))
+        jchunk_tb = _jit_sampler(
+            make_textbook_chunk_fn(model, dc, n_sample, shape, has_bn),
+            (xshard, rep, rep))
 
         def sfn(params, batch_stats, key, guide_w):
-            import numpy as np
-
             # t = n_T-1 .. 0, padded with the gated t=-1 sentinel; the
             # shared chunk driver handles noise init / padding / carry.
             return sample_cfg_chunked(
                 lambda p, x, k, s, w: jchunk_tb(p, batch_stats, x, k, s),
                 params, key, n_sample, shape, dc, guide_w,
                 chunk=min(chunk, dc.n_T), x_sharding=xshard,
-                steps=np.arange(dc.n_T - 1, -1, -1, dtype=np.int32),
-                pad_value=-1)
+                steps=textbook_chunk_steps(dc.n_T), pad_value=-1)
 
         return sfn
 
