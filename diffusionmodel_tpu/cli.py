@@ -20,10 +20,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="TPU-native enhanced diffusion model training/generation")
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "generate", "crop", "serve",
+                   choices=["train", "generate", "crop", "serve", "eval",
                             "txt2img", "img2img", "inpaint"],
                    help="train, generate, crop (offline dataset build), "
-                        "serve (HTTP generation service), or the "
+                        "serve (HTTP generation service), eval (offline "
+                        "folder-vs-folder quality metrics), or the "
                         "latent-diffusion pipelines (txt2img/img2img/"
                         "inpaint, reference/stable_diffusion/scripts/*)")
     p.add_argument("--ckpt", "--checkpoint", dest="ckpt", type=str,
@@ -64,6 +65,18 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["voc", "datasetninja"])
     p.add_argument("--crop_out", type=str, default="./data/cropped_images1")
     p.add_argument("--crop_size", type=int, default=512)
+    # eval mode (offline folder-vs-folder quality metrics)
+    p.add_argument("--real_dir", type=str, default=None,
+                   help="eval mode: directory of real images (flat or "
+                        "one subdirectory per class)")
+    p.add_argument("--gen_dir", type=str, default=None,
+                   help="eval mode: directory of generated images")
+    p.add_argument("--eval_out", type=str,
+                   default="./output/eval_metrics.json",
+                   help="eval mode: metrics JSON path (quality_metrics"
+                        ".json analogue, new_scripy.py:1082-1099)")
+    p.add_argument("--img_size", type=int, default=256,
+                   help="eval mode: common image size for SSIM/PSNR")
     # serve mode
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8,
@@ -284,6 +297,24 @@ def main(argv=None) -> int:
         paths = save_images(imgs, args.out_dir, prefix=f"{args.mode}_")
         print(f"Wrote {len(paths)} image(s): {paths[0]}"
               + (f" .. {paths[-1]}" if len(paths) > 1 else ""))
+        return 0
+    if args.mode == "eval":
+        if not args.real_dir or not args.gen_dir:
+            print("Error: --real_dir and --gen_dir required for eval mode")
+            return 1
+        import json
+        import os
+
+        from diffusionmodel_tpu.metrics.folder_eval import evaluate_folders
+
+        out = evaluate_folders(args.real_dir, args.gen_dir,
+                               metrics=metrics_impl,
+                               img_size=args.img_size)
+        os.makedirs(os.path.dirname(args.eval_out) or ".", exist_ok=True)
+        with open(args.eval_out, "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out))
+        print(f"Wrote {args.eval_out}")
         return 0
     if args.mode == "crop":
         from diffusionmodel_tpu.data.crop_tool import (

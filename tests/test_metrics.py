@@ -134,3 +134,37 @@ def test_kid_from_feats_orders_distances():
     # deterministic for a fixed seed
     again, _ = kid_from_feats(real, near, n_subsets=20, subset_size=64)
     assert again == pytest.approx(kid_near)
+
+
+def test_cli_eval_mode_folder_vs_folder(tmp_path):
+    """--mode eval scores a generated-image directory against a real set
+    offline (fid_proxy/KID/SSIM/PSNR written to JSON) — the standalone
+    analogue of the reference's inline quality eval
+    (new_scripy.py:1001-1029, 1082-1099)."""
+    import json
+
+    from PIL import Image
+
+    from diffusionmodel_tpu.cli import main as cli_main
+
+    rng = np.random.RandomState(11)
+    for side, base in (("real", 0.3), ("gen", 0.5)):
+        for cls in ("a", "b"):
+            d = tmp_path / side / cls
+            d.mkdir(parents=True)
+            for i in range(6):
+                arr = (rng.rand(32, 32, 3) * 0.4 + base) * 255
+                Image.fromarray(arr.astype(np.uint8)).save(
+                    d / f"{i}.png")
+    out = tmp_path / "metrics.json"
+    rc = cli_main(["--mode", "eval",
+                   "--real_dir", str(tmp_path / "real"),
+                   "--gen_dir", str(tmp_path / "gen"),
+                   "--img_size", "32",
+                   "--eval_out", str(out)])
+    assert rc == 0
+    doc = json.loads(out.read_text())
+    assert doc["n_real"] == 12 and doc["n_gen"] == 12
+    assert doc["n_pairs"] == 12  # class-aligned pairing
+    for key in ("fid_proxy", "kid_proxy_x1000", "ssim", "psnr"):
+        assert key in doc and np.isfinite(doc[key])
