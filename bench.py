@@ -257,6 +257,17 @@ def main() -> None:
             if samp and tb.get("sample_images_per_min"):
                 measured["config1_sample_vs_torch_cpu_measured"] = round(
                     samp / tb["sample_images_per_min"], 1)
+            fl = tb.get("flagship")
+            if fl:
+                # flagship anchor: the reference's own 353M network
+                # (scripy_old.py config) timed in torch on this host's
+                # CPU vs this chip's micro-step throughput — both sides
+                # MEASURED, images/s vs images/s
+                measured["flagship_train_images_per_sec_torch_cpu"] = \
+                    fl["train_images_per_sec"]
+                measured["flagship_train_vs_torch_cpu_measured"] = round(
+                    train_micro_steps_per_sec * b
+                    / fl["train_images_per_sec"], 1)
     except Exception:
         pass
 

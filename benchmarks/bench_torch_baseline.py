@@ -54,6 +54,84 @@ def load_reference():
     return mod
 
 
+def load_reference_flagship():
+    """scripy_old.py — the reference's proven-runnable FULL-SIZE config
+    (SURVEY Q3: new_scripy.py's literal LocalEnhancer wiring cannot
+    execute; scripy_old is the 'proven full-size config' per SURVEY 2.2):
+    256px, n_feat=192, n_T=700, batch 1, weighted-MSE + feature-
+    consistency loss."""
+    _stub_torchvision()
+    spec = importlib.util.spec_from_file_location(
+        "ref_old", "/root/reference/scripy_old.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def flagship_baseline() -> None:
+    """Measure the flagship-config torch train step on this host's CPU
+    (the only torch device present) and merge it into
+    TORCH_BASELINE.json under ``flagship``. The companion TPU number is
+    bench.py's train_opt_steps_per_sec (same 353M network semantics,
+    batch 1). Sampling is NOT measured here: 700 doubled-batch steps of
+    the 353M net at ~30s/forward would take most of a day on one core —
+    the sampler anchor stays the analytic GPU estimate, labeled."""
+    import torch
+
+    ref = load_reference_flagship()
+    torch.manual_seed(0)
+    n_T, n_classes, n_feat, batch, size = 700, 5, 192, 1, 256
+
+    ddpm = ref.DDPM(
+        nn_model=ref.ContextUnet(in_channels=3, n_feat=n_feat,
+                                 n_classes=n_classes),
+        betas=(1e-4, 0.02), n_T=n_T, device="cpu", drop_prob=0.1)
+    opt = torch.optim.AdamW(ddpm.parameters(), lr=1e-4, weight_decay=1e-5)
+
+    x = torch.rand(batch, 3, size, size) * 2 - 1
+    c = torch.randint(0, n_classes, (batch,))
+    mask = torch.full((batch, size, size), 0.5)
+    mask[:, size // 2:] = 1.0
+    mask[:, 160:224, 96:160] = 1.5
+
+    ddpm.train()
+    n_warm, n_meas = 1, 2
+    for i in range(n_warm + n_meas):
+        if i == n_warm:
+            t0 = time.time()
+        opt.zero_grad()
+        loss = ddpm(x, c, mask)
+        loss.backward()
+        opt.step()
+    step_s = (time.time() - t0) / n_meas
+    n_params = sum(p.numel() for p in ddpm.parameters())
+
+    path = "benchmarks/TORCH_BASELINE.json"
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        doc = {}
+    doc["flagship"] = {
+        "config": "flagship full-size config (scripy_old.py: 256px, "
+                  "n_feat=192, n_T=700, batch 1), torch CPU, MEASURED",
+        "torch": torch.__version__,
+        "n_params": n_params,
+        "batch": batch,
+        "train_step_seconds": round(step_s, 2),
+        "train_steps_per_sec": round(1.0 / step_s, 5),
+        "train_images_per_sec": round(batch / step_s, 5),
+        "loss_final": round(float(loss.item()), 4),
+        "note": "fwd+bwd+AdamW of the reference's own 353M network on "
+                "the 1-core CPU (no GPU in this image); sampler "
+                "deliberately unmeasured (see flagship_baseline "
+                "docstring)",
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps(doc["flagship"]))
+
+
 def main() -> None:
     import torch
 
@@ -110,10 +188,19 @@ def main() -> None:
         "note": "synthetic MNIST-shaped batches (zero-egress: no dataset "
                 "download); throughput is shape-dependent only",
     }
-    with open("benchmarks/TORCH_BASELINE.json", "w") as f:
-        json.dump(out, f, indent=2)
+    path = "benchmarks/TORCH_BASELINE.json"
+    try:  # merge: keep the flagship section if present
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        doc = {}
+    doc.update(out)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
+    if "--flagship" in sys.argv:
+        sys.exit(flagship_baseline())
     sys.exit(main())
