@@ -104,6 +104,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ldm_arch", type=str, default="sd",
                    choices=["sd", "tiny"],
                    help="sd = SD-v1 scale (860M); tiny = smoke-test size")
+    p.add_argument("--family", type=str, default="ldm",
+                   choices=["ldm", "main"],
+                   help="img2img/inpaint: which model family edits the "
+                        "image — ldm (reference scripts' latent pipelines) "
+                        "or main (a trained flagship checkpoint via "
+                        "diffusion.sample_cfg_edit; requires --ckpt)")
+    p.add_argument("--class_id", type=int, default=0,
+                   help="main-family img2img/inpaint: conditioning class")
+    p.add_argument("--mask_img", type=str, default=None,
+                   help="inpaint: grayscale mask file, luminance > 0.5 = "
+                        "PRESERVE the original pixel (default: preserve "
+                        "the bottom half, in_paint.py:80-84)")
     p.add_argument("--ldm_sampler", type=str, default="ddim",
                    choices=["ddim", "ddpm", "dpmpp"],
                    help="txt2img sampler; dpmpp = DPM-Solver++(2M), "
@@ -260,6 +272,23 @@ def main(argv=None) -> int:
             pass
         finally:
             service.close()
+        return 0
+    if args.mode in ("img2img", "inpaint") and args.family == "main":
+        if args.ckpt is None or not args.orig_img:
+            print("Error: --ckpt and --orig_img required for main-family "
+                  f"{args.mode}")
+            return 1
+        from diffusionmodel_tpu.sample import edit_samples
+
+        edit_samples(
+            cfg, args.ckpt, args.orig_img, mode=args.mode,
+            class_id=args.class_id,
+            guide_w=2.0 if args.scale is None else args.scale,
+            strength=args.strength, n_steps=args.steps or 50,
+            mask_path=args.mask_img, batch=args.batch_size,
+            seed=args.seed if args.seed is not None else 0,
+            out_dir=None if args.out_dir == "./output/ldm/" else args.out_dir,
+        )
         return 0
     if args.mode in ("txt2img", "img2img", "inpaint"):
         from diffusionmodel_tpu.models.latent_diffusion.runner import (

@@ -345,6 +345,16 @@ def sample_cfg_ddim(
     taus = jnp.asarray(taus_np[::-1].copy(), jnp.int32)
     taus_prev = jnp.concatenate([taus[1:], jnp.zeros((1,), jnp.int32)])
     ab = jnp.concatenate([jnp.ones((1,)), sched.alphabar_t[1:]])  # ab[0]=1
+    return _ddim_scan(apply_fn, key, x, n_sample, taus, taus_prev, c2,
+                      mask2, gw, ab, dc, eta)
+
+
+def _ddim_scan(apply_fn, key, x, n_sample, taus, taus_prev, c2, mask2, gw,
+               ab, dc, eta, blend=None):
+    """Shared DDIM scan core (one lax.scan over descending taus with the
+    doubled-batch CFG network call) — :func:`sample_cfg_ddim` runs it
+    plain; :func:`sample_cfg_edit` passes a ``blend`` hook applied after
+    each update (the inpaint keep-region re-projection)."""
 
     def step(carry, idx):
         x, key = carry
@@ -362,10 +372,87 @@ def sample_cfg_ddim(
         z = jax.random.normal(zkey, x.shape, dtype=jnp.float32)
         z = jnp.where(tau_p > 0, z, jnp.zeros_like(z))
         x = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * z
+        if blend is not None:
+            x = blend(x, tau_p)
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(step, (x, key), (taus, taus_prev))
     return x
+
+
+def sample_cfg_edit(
+    apply_fn: Callable[..., jnp.ndarray],
+    key: jax.Array,
+    x0: jnp.ndarray,
+    n_classes: int,
+    sched: Schedule,
+    dc: DiffusionConfig,
+    guide_w: float = 0.0,
+    n_steps: int = 50,
+    strength: float = 0.75,
+    inpaint_mask: Optional[jnp.ndarray] = None,
+    classes: Optional[jnp.ndarray] = None,
+    eta: float = 0.0,
+    discretize: str = "uniform",
+):
+    """img2img / inpaint for the MAIN family — a beyond-reference
+    capability: the reference ships image editing only on the vendored
+    LDM side (reference/stable_diffusion/scripts/image_to_image.py:95-149
+    q-samples the encoding at strength*steps then repaints; in_paint.py:
+    100-166 adds a keep-mask blended with the ORIGINAL noise each step).
+    This transplants both recipes onto the flagship family's discrete
+    schedule so a trained crack model can restyle or locally regenerate
+    real crack images.
+
+    ``x0``: [n, h, w, c] source images in [-1, 1].
+    ``strength``: fraction of the DDIM trajectory actually run — x0 is
+    q-sampled to tau at index round(strength * n_steps) (1.0 = pure
+    generation ignoring x0 except through the inpaint blend).
+    ``inpaint_mask``: None for img2img; else [h, w], [n, h, w] or
+    [n, h, w, c] with 1 = PRESERVE the original pixel (the reference's
+    orientation, in_paint.py:80-84). After every DDIM update the kept
+    region is re-projected to q_sample(x0, tau_prev) using the SAME
+    noise draw as the start point — the reference's orig_noise blend.
+    Same CFG arithmetic/orientation flags and per-sample ``guide_w``
+    vectors as :func:`sample_cfg`.
+    """
+    import numpy as np
+
+    n_sample = x0.shape[0]
+    x0 = x0.astype(jnp.float32)
+    taus_np = np.asarray(ddim_taus(dc.n_T, n_steps, discretize))[::-1]
+    k = max(1, min(n_steps, int(round(strength * n_steps))))
+    taus_used = taus_np[n_steps - k:]
+    tau_start = int(taus_used[0])
+
+    key, nkey = jax.random.split(key)
+    noise = jax.random.normal(nkey, x0.shape, dtype=jnp.float32)
+    ab = jnp.concatenate([jnp.ones((1,)), sched.alphabar_t[1:]])  # ab[0]=1
+
+    def to_tau(tau):
+        a = ab[tau]
+        return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+
+    x = to_tau(tau_start)
+    c2, mask2 = _cfg_inputs(n_sample, n_classes, dc, classes)
+    gw = _guide_arr(guide_w, n_sample)
+    taus = jnp.asarray(taus_used.copy(), jnp.int32)
+    taus_prev = jnp.concatenate([taus[1:], jnp.zeros((1,), jnp.int32)])
+
+    blend = None
+    if inpaint_mask is not None:
+        m = jnp.asarray(inpaint_mask, jnp.float32)
+        if m.ndim == 2:
+            m = m[None, :, :, None]
+        elif m.ndim == 3:
+            m = m[..., None]
+
+        def blend(xc, tau_p):
+            return to_tau(tau_p) * m + xc * (1.0 - m)
+
+        x = blend(x, jnp.asarray(tau_start))
+    return _ddim_scan(apply_fn, key, x, n_sample, taus, taus_prev, c2,
+                      mask2, gw, ab, dc, eta, blend=blend)
 
 
 def dpmpp_terms(a_cur, a_nxt):

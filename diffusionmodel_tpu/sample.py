@@ -174,3 +174,105 @@ def gen_samples(cfg: Config, ckpt_path: str,
     results["out_dir"] = out_dir
     results["quality"] = quality
     return results
+
+
+def _load_edit_image(path: str, img_size: int, channels: int) -> np.ndarray:
+    """Image file -> float32 [1, H, W, C] in [-1, 1] at the MODEL's exact
+    resolution (the main family trains at a fixed img_size; unlike the LDM
+    util.load_img there is no x32 constraint to honor)."""
+    from PIL import Image
+
+    im = Image.open(path).convert("RGB" if channels == 3 else "L")
+    if im.size != (img_size, img_size):
+        im = im.resize((img_size, img_size), resample=Image.LANCZOS)
+    arr = np.asarray(im).astype(np.float32) * (2.0 / 255.0) - 1.0
+    if channels == 1:
+        arr = arr[..., None]
+    return arr[None]
+
+
+def _load_keep_mask(path: Optional[str], img_size: int) -> np.ndarray:
+    """Inpaint keep-mask: luminance > 0.5 of ``path`` = PRESERVE the
+    original pixel (the reference's orientation, in_paint.py:80-84);
+    without a file, preserve the bottom half (its default)."""
+    if path is None:
+        m = np.zeros((img_size, img_size), np.float32)
+        m[img_size // 2:] = 1.0
+        return m
+    from PIL import Image
+
+    im = Image.open(path).convert("L")
+    if im.size != (img_size, img_size):
+        im = im.resize((img_size, img_size), resample=Image.NEAREST)
+    return (np.asarray(im).astype(np.float32) / 255.0 > 0.5).astype(
+        np.float32)
+
+
+def edit_samples(cfg: Config, ckpt_path: str, img_path: str,
+                 mode: str = "img2img", class_id: int = 0,
+                 guide_w: float = 2.0, strength: float = 0.75,
+                 n_steps: int = 50, mask_path: Optional[str] = None,
+                 batch: int = 1, seed: int = 0, eta: float = 0.0,
+                 out_dir: Optional[str] = None, verbose: bool = True) -> Dict:
+    """Main-family img2img / inpaint front door (diffusion.sample_cfg_edit)
+    — a beyond-reference capability: the reference ships image editing only
+    on the vendored LDM side (reference/stable_diffusion/scripts/
+    image_to_image.py:95-149, in_paint.py:100-166); this applies the same
+    two recipes to a trained flagship crack model. Saves
+    ``{mode}_s{i}.png`` plus a source/edited side-by-side grid and returns
+    paths + timing."""
+    from diffusionmodel_tpu.diffusion import sample_cfg_edit
+
+    enable_compilation_cache()
+    sc, mc, dc = cfg.sample, cfg.model, cfg.diffusion
+    ckpt = load_checkpoint(ckpt_path, arch=mc.arch, norm=mc.norm)
+    params = extract_params(ckpt)
+    batch_stats = ckpt.get("batch_stats", {}) if isinstance(ckpt, dict) else {}
+    model = build_model(mc, dc.high_thresh)
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+
+    x0 = np.repeat(_load_edit_image(img_path, mc.img_size, mc.in_ch),
+                   batch, axis=0)
+    mask = (jnp.asarray(_load_keep_mask(mask_path, mc.img_size))
+            if mode == "inpaint" else None)
+    classes = jnp.full((batch,), int(class_id), jnp.int32)
+    has_bn = bool(batch_stats)
+
+    def run(params, batch_stats, key, x0_dev, gw):
+        def apply_fn(x, c, t, ctx, attn, train):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = batch_stats
+            return model.apply(variables, x, c, t, ctx, attn_mask=attn,
+                               train=False)
+
+        return sample_cfg_edit(apply_fn, key, x0_dev, mc.n_classes, sched,
+                               dc, guide_w=gw, n_steps=n_steps,
+                               strength=strength, inpaint_mask=mask,
+                               classes=classes, eta=eta,
+                               discretize=sc.ddim_discretize)
+
+    if verbose:
+        print(f"{mode} on {img_path} (class {class_id}, guide {guide_w}, "
+              f"strength {strength}, {n_steps}-step DDIM)")
+    t0 = time.time()
+    out = fetch_tree(jax.jit(run)(params, batch_stats,
+                                  jax.random.PRNGKey(seed),
+                                  jnp.asarray(x0), jnp.float32(guide_w)))
+    dt = time.time() - t0
+
+    out_dir = out_dir or os.path.join(sc.sample_dir,
+                                      f"edit_{int(time.time())}")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(len(out)):
+        p = os.path.join(out_dir, f"{mode}_s{i}.png")
+        save_image(out[i], p, denorm=sc.denorm)
+        paths.append(p)
+    grid_path = os.path.join(out_dir, f"{mode}_grid.png")
+    save_samples(np.concatenate([x0, np.asarray(out)]), grid_path,
+                 nrow=batch, denorm=sc.denorm)
+    if verbose:
+        print(f"Wrote {len(paths)} image(s) + {grid_path} in {dt:.1f}s")
+    return {"paths": paths, "grid_path": grid_path, "seconds": dt,
+            "out_dir": out_dir}

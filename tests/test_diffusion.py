@@ -431,3 +431,119 @@ def test_dpmpp_per_sample_guide_vector():
     np.testing.assert_allclose(mixed[0], s2[0], atol=1e-6)
     np.testing.assert_allclose(mixed[1], s7[1], atol=1e-6)
     assert np.abs(mixed[1] - s2[1]).max() > 1e-4
+
+
+# ---- sample_cfg_edit: main-family img2img / inpaint ----------------------
+
+
+def _edit_args(dc):
+    sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
+
+    def apply_fn(x, c, t, ctx, attn, train):
+        return 0.1 * x + 0.02 * c[:, None, None, None].astype(jnp.float32)
+
+    return sched, apply_fn
+
+
+def test_edit_full_mask_inpaint_returns_original():
+    # keep-mask = 1 everywhere: the final blend re-projects to
+    # q_sample(x0, tau_prev=0) = x0 exactly (ab[0] = 1), whatever the net.
+    from diffusionmodel_tpu.diffusion import sample_cfg_edit
+
+    dc = DiffusionConfig(n_T=20)
+    sched, apply_fn = _edit_args(dc)
+    x0 = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 1), minval=-1,
+                            maxval=1)
+    out = sample_cfg_edit(apply_fn, jax.random.PRNGKey(0), x0, 2, sched, dc,
+                          n_steps=5, strength=0.8,
+                          inpaint_mask=jnp.ones((8, 8)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-6)
+
+
+def test_edit_inpaint_preserves_kept_half_only():
+    from diffusionmodel_tpu.diffusion import sample_cfg_edit
+
+    dc = DiffusionConfig(n_T=20)
+    sched, apply_fn = _edit_args(dc)
+    x0 = jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 8, 1), minval=-1,
+                            maxval=1)
+    mask = np.zeros((8, 8), np.float32)
+    mask[4:] = 1.0  # preserve bottom half (the reference's default
+    # orientation, in_paint.py:80-84)
+    out = np.asarray(sample_cfg_edit(
+        apply_fn, jax.random.PRNGKey(0), x0, 2, sched, dc, n_steps=5,
+        strength=0.8, inpaint_mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(out[:, 4:], np.asarray(x0)[:, 4:], atol=1e-6)
+    assert np.abs(out[:, :4] - np.asarray(x0)[:, :4]).max() > 1e-3
+
+
+def test_edit_img2img_zero_eps_closed_form():
+    # With eps == 0 and eta == 0 every DDIM update is
+    # x <- sqrt(a_prev) * x / sqrt(a), telescoping to
+    # x_final = x_start / sqrt(a_start) = x0 + (sqrtmab/sqrtab)[tau_s]*noise
+    # (the q-sample noise reproduced via the function's own key-split
+    # order: key, nkey = split(key)).
+    from diffusionmodel_tpu.diffusion import ddim_taus, sample_cfg_edit
+
+    dc = DiffusionConfig(n_T=50)
+    sched, _ = _edit_args(dc)
+
+    def zero_eps(x, c, t, ctx, attn, train):
+        return jnp.zeros_like(x)
+
+    x0 = jax.random.uniform(jax.random.PRNGKey(3), (2, 4, 4, 1), minval=-1,
+                            maxval=1)
+    key = jax.random.PRNGKey(7)
+    n_steps, strength = 10, 0.6
+    out = np.asarray(sample_cfg_edit(zero_eps, key, x0, 2, sched, dc,
+                                     n_steps=n_steps, strength=strength))
+    taus = np.asarray(ddim_taus(dc.n_T, n_steps))[::-1]
+    k = int(round(strength * n_steps))
+    tau_s = int(taus[n_steps - k])
+    _, nkey = jax.random.split(key)
+    noise = np.asarray(jax.random.normal(nkey, x0.shape, dtype=jnp.float32))
+    sab = np.asarray(sched.sqrtab)[tau_s]
+    smab = np.asarray(sched.sqrtmab)[tau_s]
+    np.testing.assert_allclose(out, np.asarray(x0) + (smab / sab) * noise,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_edit_mask_rank_broadcasting():
+    # [h,w], [n,h,w] and [n,h,w,c] keep-masks describing the same region
+    # produce identical results.
+    from diffusionmodel_tpu.diffusion import sample_cfg_edit
+
+    dc = DiffusionConfig(n_T=20)
+    sched, apply_fn = _edit_args(dc)
+    x0 = jax.random.uniform(jax.random.PRNGKey(4), (2, 8, 8, 3), minval=-1,
+                            maxval=1)
+    m2 = np.zeros((8, 8), np.float32)
+    m2[4:] = 1.0
+    m3 = np.broadcast_to(m2, (2, 8, 8)).copy()
+    m4 = np.broadcast_to(m2[..., None], (2, 8, 8, 3)).copy()
+    outs = [np.asarray(sample_cfg_edit(
+        apply_fn, jax.random.PRNGKey(0), x0, 2, sched, dc, n_steps=4,
+        strength=1.0, inpaint_mask=jnp.asarray(m)))
+        for m in (m2, m3, m4)]
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+    np.testing.assert_allclose(outs[0], outs[2], atol=1e-6)
+
+
+def test_edit_per_sample_guide_and_classes():
+    from diffusionmodel_tpu.diffusion import sample_cfg_edit
+
+    dc = DiffusionConfig(n_T=20)
+    sched, apply_fn = _edit_args(dc)
+    x0 = jax.random.uniform(jax.random.PRNGKey(5), (2, 4, 4, 1), minval=-1,
+                            maxval=1)
+
+    def run(w):
+        return np.asarray(sample_cfg_edit(
+            apply_fn, jax.random.PRNGKey(0), x0, 3, sched, dc, guide_w=w,
+            n_steps=5, strength=0.5, classes=jnp.asarray([1, 2])))
+
+    mixed = run(jnp.asarray([2.0, 7.0]))
+    s2, s7 = run(2.0), run(7.0)
+    np.testing.assert_allclose(mixed[0], s2[0], atol=1e-6)
+    np.testing.assert_allclose(mixed[1], s7[1], atol=1e-6)
+    assert mixed.shape == (2, 4, 4, 1)

@@ -166,3 +166,56 @@ def test_inpaint_distinct_masks_not_cache_confused():
     b = runner.inpaint(img, "x", mask=m_bot, key=key)
     assert a.shape == b.shape == (1, 64, 64, 3)
     assert np.abs(a - b).max() > 1e-3
+
+
+@pytest.mark.parametrize("mode", ["img2img", "inpaint"])
+def test_cli_main_family_edit(mode, tmp_path):
+    """--family main routes img2img/inpaint through sample_cfg_edit on a
+    flagship-family checkpoint (beyond-reference: the reference only
+    edits via the vendored LDM scripts)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from diffusionmodel_tpu.checkpoint import save_checkpoint
+    from diffusionmodel_tpu.config import preset
+    from diffusionmodel_tpu.nn import build_model
+
+    cfg = preset("mnist", **{"model.n_feat": 8, "diffusion.n_T": 6})
+    model = build_model(cfg.model, cfg.diffusion.high_thresh)
+    x = jnp.zeros((1, 28, 28, 1))
+    variables = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+        jnp.full((1,), 0.5), jnp.ones((1,)), attn_mask=None, train=False)
+    ck = str(tmp_path / "ck.pkl")
+    save_checkpoint(ck, {"params": variables["params"],
+                         "batch_stats": variables.get("batch_stats", {})})
+    src = tmp_path / "src.png"
+    Image.fromarray((np.random.RandomState(2).rand(28, 28) * 255)
+                    .astype(np.uint8)).save(src)
+    out = str(tmp_path / "edit")
+    args = ["--mode", mode, "--family", "main", "--ckpt", ck,
+            "--orig_img", str(src), "--preset", "mnist",
+            "-o", "model.n_feat=8", "-o", "diffusion.n_T=6",
+            "--steps", "4", "--class_id", "3", "--scale", "1.5",
+            "--batch_size", "2", "--out_dir", out, "--seed", "1"]
+    if mode == "inpaint":
+        # keep-mask file: preserve the left half
+        m = np.zeros((28, 28), np.uint8)
+        m[:, :14] = 255
+        mp = tmp_path / "mask.png"
+        Image.fromarray(m).save(mp)
+        args += ["--mask_img", str(mp)]
+    assert main(args) == 0
+    files = sorted(os.listdir(out))
+    assert files == [f"{mode}_grid.png", f"{mode}_s0.png", f"{mode}_s1.png"]
+    if mode == "inpaint":
+        # the preserved (left) half must round-trip the source pixels
+        got = np.asarray(Image.open(os.path.join(out, f"{mode}_s0.png")))
+        ref = np.asarray(Image.open(src))
+        assert np.abs(got[:, :14].astype(int) - ref[:, :14].astype(int)).max() <= 1
+
+
+def test_cli_main_family_edit_requires_ckpt():
+    assert main(["--mode", "img2img", "--family", "main",
+                 "--orig_img", "x.png"]) == 1
