@@ -21,10 +21,13 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native enhanced diffusion model training/generation")
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "generate", "crop", "serve", "eval",
+                            "visualize",
                             "txt2img", "img2img", "inpaint"],
                    help="train, generate, crop (offline dataset build), "
                         "serve (HTTP generation service), eval (offline "
-                        "folder-vs-folder quality metrics), or the "
+                        "folder-vs-folder quality metrics), visualize "
+                        "(dataset/mask inspection sheet, "
+                        "test_DroneDataset.py:8-94), or the "
                         "latent-diffusion pipelines (txt2img/img2img/"
                         "inpaint, reference/stable_diffusion/scripts/*)")
     p.add_argument("--ckpt", "--checkpoint", dest="ckpt", type=str,
@@ -77,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         ".json analogue, new_scripy.py:1082-1099)")
     p.add_argument("--img_size", type=int, default=256,
                    help="eval mode: common image size for SSIM/PSNR")
+    # visualize mode (test_DroneDataset.py capability)
+    p.add_argument("--viz_out", type=str, default="dataset_visualization.png",
+                   help="visualize mode: output sheet path (reference "
+                        "filename, test_DroneDataset.py:92)")
     # serve mode
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8,
@@ -344,6 +351,30 @@ def main(argv=None) -> int:
             json.dump(out, f, indent=2)
         print(json.dumps(out))
         print(f"Wrote {args.eval_out}")
+        return 0
+    if args.mode == "visualize":
+        # Dataset/mask inspection sheet (test_DroneDataset.py:8-94): N
+        # samples x 3 panels (original+bbox, transformed+bbox, attn-mask
+        # heatmap). Unlike the reference's plt.show() script this is
+        # headless — it only writes the PNG.
+        from diffusionmodel_tpu.data import CrackDataset
+        from diffusionmodel_tpu.data.visualize import (
+            visualize_dataset_samples,
+        )
+
+        dc = cfg.diffusion
+        try:
+            ds = CrackDataset(
+                cfg.data_root, img_size=cfg.model.img_size,
+                mask_values=(dc.low_weight, dc.mid_weight, dc.high_weight))
+        except (FileNotFoundError, NotADirectoryError, OSError) as e:
+            print(f"Error: no dataset at {cfg.data_root}: {e}")
+            return 1
+        out = visualize_dataset_samples(
+            ds, n_samples=args.samples or 5, out_path=args.viz_out,
+            seed=cfg.train.seed)
+        print(f"Wrote {out} ({min(args.samples or 5, len(ds.samples))} "
+              "samples x 3 panels)")
         return 0
     if args.mode == "crop":
         from diffusionmodel_tpu.data.crop_tool import (

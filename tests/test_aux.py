@@ -183,6 +183,34 @@ def test_visualize_dataset(tmp_path):
     assert os.path.exists(out)
 
 
+def test_cli_visualize_mode(tmp_path):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from tests.test_data import _write_xml
+
+    root = tmp_path / "ds"
+    (root / "images" / "c_0").mkdir(parents=True)
+    (root / "annotations").mkdir()
+    for i in range(3):
+        Image.new("RGB", (64, 64), (120, 90, 60)).save(
+            root / "images" / "c_0" / f"i{i}.jpg")
+        _write_xml(str(root / "annotations" / f"i{i}.xml"), (10, 20, 40, 50))
+
+    from diffusionmodel_tpu.cli import main
+
+    out = tmp_path / "sheet.png"
+    rc = main(["--mode", "visualize", "--data_root", str(root),
+               "--viz_out", str(out), "--samples", "2",
+               "-o", "model.img_size=32"])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0
+    # missing dataset root -> clean error, not a traceback
+    rc = main(["--mode", "visualize",
+               "--data_root", str(tmp_path / "nope"),
+               "--viz_out", str(tmp_path / "x.png")])
+    assert rc == 1
+
+
 def test_mnist_eval_grid(tmp_path):
     from diffusionmodel_tpu.utils.grid import mnist_eval_grid
 
