@@ -95,9 +95,12 @@ def main() -> None:
             "images_per_min": round(n_req * per * 60.0 / dt, 2),
         }), flush=True)
 
-        # seed-PINNED load: each request must run alone for exact
-        # reproducibility — measures the documented throughput cost
-        # (module docstring of serving.py).
+        # seed-PINNED load: under this DETERMINISTIC sampler (ddim eta=0)
+        # pinned requests now batch like everyone else — per-slot start
+        # noise is derived from each request's own seed (serving.py
+        # module docstring). Round-3-early this stage measured the
+        # run-alone cost (6.9 img/min); it now measures batched pinned
+        # throughput.
         _bench_seed_pinned(svc, np, time, json)
 
     # DPM-Solver++(2M)-20 service (round 3): the throughput sampler —
@@ -130,8 +133,13 @@ def main() -> None:
             "images_per_min": round(n_req * per * 60.0 / dt, 2),
         }), flush=True)
 
+        # pinned load batches at full throughput on the deterministic
+        # dpmpp service too
+        _bench_seed_pinned(svc, np, time, json, stage="dpmpp20_seed_pinned")
 
-def _bench_seed_pinned(svc, np, time, json, per=2):
+
+def _bench_seed_pinned(svc, np, time, json, per=2,
+                       stage="concurrent_seed_pinned"):
     n_pin = 6
     t0 = time.time()
     futs = [svc.submit([i % 5, (i + 1) % 5], guide_w=4.0, seed=100 + i)
@@ -140,7 +148,7 @@ def _bench_seed_pinned(svc, np, time, json, per=2):
     dt = time.time() - t0
     assert all(np.isfinite(o).all() for o in outs)
     print(json.dumps({
-        "stage": "concurrent_seed_pinned",
+        "stage": stage,
         "requests": n_pin, "images": n_pin * per,
         "seconds": round(dt, 2),
         "images_per_min": round(n_pin * per * 60.0 / dt, 2),

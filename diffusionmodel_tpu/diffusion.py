@@ -323,6 +323,7 @@ def sample_cfg_ddim(
     eta: float = 0.0,
     classes: Optional[jnp.ndarray] = None,
     discretize: str = "uniform",
+    x_init: Optional[jnp.ndarray] = None,
 ):
     """DDIM sampling over a tau-subsequence of the MAIN family's schedule —
     a speed upgrade over the reference's full 700-step ancestral loop
@@ -333,10 +334,15 @@ def sample_cfg_ddim(
     ``discretize``: "uniform" tau spacing, or "quad" — quadratic spacing
     concentrating steps near t=0 (the reference's DDIM offers both,
     reference/stable_diffusion/sampler/ddim.py:42-50).
+
+    ``x_init``: optional [n, H, W, C] starting noise. With ``eta == 0``
+    the trajectory is DETERMINISTIC given x_init, which lets callers pin
+    per-sample noise streams (serving's batched seed-pinned requests).
     """
     h, w_, ch = img_shape
     key, xkey = jax.random.split(key)
-    x = jax.random.normal(xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
+    x = x_init if x_init is not None else jax.random.normal(
+        xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
 
     c2, mask2 = _cfg_inputs(n_sample, n_classes, dc, classes)
     gw = _guide_arr(guide_w, n_sample)
@@ -524,6 +530,7 @@ def sample_cfg_dpmpp(
     n_steps: int = 20,
     classes: Optional[jnp.ndarray] = None,
     discretize: str = "uniform",
+    x_init: Optional[jnp.ndarray] = None,
 ):
     """DPM-Solver++(2M) sampling for the MAIN family (beyond-reference
     extra; the reference offers ancestral + DDIM only): a second-order
@@ -532,7 +539,8 @@ def sample_cfg_dpmpp(
     evaluations — the serving/throughput sampler. Deterministic given the
     initial noise (like DDIM eta=0); same CFG arithmetic/orientation
     flags and per-sample ``guide_w`` vectors as :func:`sample_cfg`; one
-    ``lax.scan``, on-device PRNG for x_T only.
+    ``lax.scan``, on-device PRNG for x_T only (or caller-pinned via
+    ``x_init`` — the trajectory is deterministic given the start noise).
 
     Update (data-prediction form), taus descending, target alphabar=1:
         x0_k = (x - sigma_k * eps_cfg) / alpha_k
@@ -542,7 +550,8 @@ def sample_cfg_dpmpp(
     coefficients make the update exactly x = x0 (lower-order final)."""
     h, w_, ch = img_shape
     key, xkey = jax.random.split(key)
-    x = jax.random.normal(xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
+    x = x_init if x_init is not None else jax.random.normal(
+        xkey, (n_sample, h, w_, ch), dtype=jnp.float32)
 
     c2, mask2 = _cfg_inputs(n_sample, n_classes, dc, classes)
     gw = _guide_arr(guide_w, n_sample)

@@ -22,12 +22,18 @@ use. TPU serving constraints drive the design:
 - **Mesh fan-out.** Pass a ``jax.sharding.Mesh`` to shard the padded
   batch over the 'data' axis exactly like the offline samplers.
 
-Determinism: a batch shares one PRNG stream, so a request's noise depends
-on its batch slot. Requests that pin ``seed`` are run in their own batch
-(exactly reproducible: same seed + classes + scale -> same images). That
-reproducibility costs throughput: a stream of pinned requests cannot
-cross-batch, so sustained pinned load runs at ~1/max_batch of the
-unpinned images/min ceiling (measured in benchmarks/bench_serving.py).
+Determinism: under the DETERMINISTIC samplers ("dpmpp", and "ddim" with
+eta=0 — the serving defaults) the only randomness is the starting noise,
+so each slot's images depend only on that slot's own x_T, class, and
+guide_w, never on its batch neighbours. The worker therefore derives
+per-request start noise host-side (``np.random.default_rng(seed)``) and
+seed-pinned requests batch WITH everyone else at full throughput while
+staying exactly reproducible (same seed + classes + scale -> same
+images, whatever else shares the batch). Under the stochastic samplers
+("ancestral", "ddim" with eta>0, textbook) a batch shares one per-step
+PRNG stream, so pinned requests still run in their own batch; that costs
+~1/max_batch of the unpinned images/min ceiling under sustained pinned
+load (measured in benchmarks/bench_serving.py).
 
 Both schedule families serve: the main family samples with CFG
 (DDIM or chunked ancestral); ``schedule_family="textbook"`` checkpoints
@@ -125,7 +131,7 @@ class SamplerService:
                                                None),
                                  out_shardings=xshard))
 
-            def run(key, classes, guide_w):
+            def run(key, classes, guide_w, x_init=None):
                 return sample_cfg_chunked(
                     lambda p, x, k, s, w: jchunk_tb(
                         p, self._batch_stats, x, k, s),
@@ -138,26 +144,29 @@ class SamplerService:
             if kind == "dpmpp":
                 from diffusionmodel_tpu.diffusion import sample_cfg_dpmpp
 
-                def fn(params, batch_stats, key, classes, guide_w):
+                def fn(params, batch_stats, key, classes, guide_w, x_init):
                     return sample_cfg_dpmpp(
                         _apply(params, batch_stats), key, max_batch, shape,
                         mc.n_classes, sched, dc, guide_w=guide_w,
                         n_steps=sc.dpm_steps, classes=classes,
-                        discretize=sc.ddim_discretize)
+                        discretize=sc.ddim_discretize, x_init=x_init)
             else:
-                def fn(params, batch_stats, key, classes, guide_w):
+                def fn(params, batch_stats, key, classes, guide_w, x_init):
                     return sample_cfg_ddim(
                         _apply(params, batch_stats), key, max_batch, shape,
                         mc.n_classes, sched, dc, guide_w=guide_w,
                         n_steps=sc.ddim_steps, eta=sc.ddim_eta,
-                        classes=classes, discretize=sc.ddim_discretize)
+                        classes=classes, discretize=sc.ddim_discretize,
+                        x_init=x_init)
 
             jfn = (jax.jit(fn) if mesh is None else
                    jax.jit(fn, out_shardings=xshard))
 
-            def run(key, classes, guide_w):
+            def run(key, classes, guide_w, x_init=None):
+                if x_init is not None and xshard is not None:
+                    x_init = jax.device_put(x_init, xshard)
                 return jfn(self._params, self._batch_stats, key, classes,
-                           guide_w)
+                           guide_w, x_init)
         elif kind == "ancestral":
             from diffusionmodel_tpu.diffusion import sample_cfg_chunked
 
@@ -174,7 +183,7 @@ class SamplerService:
                                             None, None),
                               out_shardings=xshard))
 
-            def run(key, classes, guide_w):
+            def run(key, classes, guide_w, x_init=None):
                 # adapter pins batch_stats/classes; the shared chunk driver
                 # handles noise init, the >4-min-program chunk cap, and
                 # gated i=0 padding (diffusion.sample_cfg_chunked).
@@ -187,6 +196,13 @@ class SamplerService:
             raise ValueError(f"unknown sampler kind: {kind}")
 
         self._run = run
+        self._shape = shape
+        # Deterministic trajectories (randomness = start noise only): the
+        # worker pins per-slot noise host-side, letting seed-pinned
+        # requests batch with everyone else (module docstring).
+        self._deterministic = (kind == "dpmpp"
+                               or (kind == "ddim" and sc.ddim_eta == 0.0))
+        self._np_rng = np.random.default_rng(0)
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
         # observability: filled under the worker thread only; read-mostly
@@ -266,9 +282,11 @@ class SamplerService:
                 break
             batch = [req]
             slots = len(req.classes)
-            # Pinned-seed requests run alone (exact reproducibility; see
-            # module docstring for the measured throughput cost).
-            if req.seed is None:
+            # Deterministic samplers: pinned requests batch like everyone
+            # else (per-slot noise pinned host-side). Stochastic samplers:
+            # pinned requests run alone (see module docstring for the
+            # measured throughput cost).
+            if req.seed is None or self._deterministic:
                 deadline = time.monotonic() + self.max_wait_s
                 while slots < self.max_batch:
                     timeout = deadline - time.monotonic()
@@ -281,10 +299,11 @@ class SamplerService:
                     if nxt is None:
                         self._q.put(None)  # re-post the shutdown signal
                         break
-                    # batchable: unpinned + fits the remaining slots.
-                    # guide_w may differ per request — it rides a per-slot
-                    # vector, so mixed-scale traffic shares one batch.
-                    if (nxt.seed is None
+                    # batchable: fits the remaining slots, and unpinned
+                    # unless the sampler is deterministic. guide_w may
+                    # differ per request — it rides a per-slot vector, so
+                    # mixed-scale traffic shares one batch.
+                    if ((nxt.seed is None or self._deterministic)
                             and slots + len(nxt.classes) <= self.max_batch):
                         batch.append(nxt)
                         slots += len(nxt.classes)
@@ -303,21 +322,43 @@ class SamplerService:
                     flat[off:off + len(r.classes)] = r.classes
                     gw[off:off + len(r.classes)] = r.guide_w
                     off += len(r.classes)
+                x_init = None
+                if self._deterministic:
+                    # Per-request start noise, derived from the request's
+                    # own seed (or a fresh one): each slot's noise depends
+                    # only on its own request -> exact reproducibility for
+                    # pinned requests regardless of batch composition.
+                    h_, w2, ch = self._shape
+                    x_init = np.empty(
+                        (self.max_batch, h_, w2, ch), np.float32)
+                    off = 0
+                    for r in batch:
+                        sd = (r.seed if r.seed is not None
+                              else int(self._np_rng.integers(2 ** 63)))
+                        x_init[off:off + len(r.classes)] = (
+                            np.random.default_rng(sd).standard_normal(
+                                (len(r.classes), h_, w2, ch), np.float32))
+                        off += len(r.classes)
+                    if off < self.max_batch:  # padding slots
+                        x_init[off:] = self._np_rng.standard_normal(
+                            (self.max_batch - off, h_, w2, ch), np.float32)
+                    x_init = jnp.asarray(x_init)
                 key = (jax.random.PRNGKey(req.seed)
-                       if req.seed is not None else self._next_key())
+                       if req.seed is not None and not self._deterministic
+                       else self._next_key())
                 t_run = time.monotonic()
                 # chunked fetch (utils/transfer): a full slot batch of
                 # images is tens of MB — the tunneled platform's
                 # single-array device->host path runs at ~5 MB/s
                 imgs = fetch_tree(self._run(
-                    key, jnp.asarray(flat), jnp.asarray(gw)))
+                    key, jnp.asarray(flat), jnp.asarray(gw), x_init))
                 st = self.stats
                 st["busy_seconds"] += time.monotonic() - t_run
                 st["batches"] += 1
                 st["requests"] += len(batch)
                 st["slots_used"] += slots  # == images generated
                 st["slots_dispatched"] += self.max_batch
-                if req.seed is not None:
+                if any(r.seed is not None for r in batch):
                     st["pinned_batches"] += 1
                 off = 0
                 for r in batch:

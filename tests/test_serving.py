@@ -55,6 +55,47 @@ def test_seed_pinned_reproducible(tiny):
     assert np.abs(a - c).max() > 1e-3  # different seed -> different images
 
 
+def test_pinned_batches_with_unpinned_under_deterministic_sampler(tiny):
+    """Deterministic samplers (ddim eta=0 / dpmpp): a seed-pinned request
+    batches WITH other traffic and still reproduces its solo-run images
+    exactly — per-slot start noise comes from the request's own seed, so
+    batch composition cannot leak into the result."""
+    import dataclasses as _dc
+
+    cfg, model, sched, params = tiny
+    cfg = cfg.replace(sample=_dc.replace(cfg.sample, dpm_steps=4))
+    with SamplerService(model, cfg, sched, params, max_batch=4,
+                        sampler="dpmpp", max_wait_ms=1000.0) as svc:
+        assert svc._deterministic
+        a = svc.generate([0, 1], guide_w=2.0, seed=7)  # solo (+ compile)
+        st0 = dict(svc.stats)
+        # pinned + unpinned submitted together -> must share ONE batch
+        f1 = svc.submit([0, 1], guide_w=2.0, seed=7)
+        f2 = svc.submit([2, 2], guide_w=3.0)
+        b, other = f1.result(), f2.result()
+        st1 = dict(svc.stats)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert st1["batches"] - st0["batches"] == 1  # they batched
+    assert st1["pinned_batches"] - st0["pinned_batches"] == 1
+    assert other.shape == (2, 32, 32, 3)
+
+
+def test_pinned_runs_solo_under_stochastic_sampler(tiny):
+    """Ancestral sampling shares one per-step PRNG stream across the
+    batch, so pinned requests must keep running in their own batch."""
+    cfg, model, sched, params = tiny
+    with SamplerService(model, cfg, sched, params, max_batch=4,
+                        sampler="ancestral", max_wait_ms=1000.0) as svc:
+        assert not svc._deterministic
+        svc.generate([0], guide_w=2.0)  # compile
+        f1 = svc.submit([0, 1], guide_w=2.0, seed=7)
+        f2 = svc.submit([2], guide_w=2.0, seed=9)
+        f1.result(), f2.result()
+        st = dict(svc.stats)
+    assert st["batches"] == 3  # pinned requests never shared a batch
+    assert st["pinned_batches"] == 2
+
+
 def test_mixed_scales_and_validation(tiny):
     cfg, model, sched, params = tiny
     with SamplerService(model, cfg, sched, params, max_batch=4,
