@@ -370,6 +370,12 @@ def main(argv=None) -> int:
         except (FileNotFoundError, NotADirectoryError, OSError) as e:
             print(f"Error: no dataset at {cfg.data_root}: {e}")
             return 1
+        if len(ds.samples) == 0:
+            # an existing root with zero annotated samples would reach
+            # np.concatenate([]) inside the visualizer (ADVICE r3) —
+            # same clean-error contract as the missing-root case.
+            print(f"Error: no annotated samples found under {cfg.data_root}")
+            return 1
         out = visualize_dataset_samples(
             ds, n_samples=args.samples or 5, out_path=args.viz_out,
             seed=cfg.train.seed)

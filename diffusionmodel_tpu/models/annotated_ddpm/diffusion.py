@@ -50,15 +50,19 @@ class DenoiseDiffusion:
         mean, var = self.q_xt_x0(x0, t)
         return mean + jnp.sqrt(var) * eps
 
-    def p_sample_step(self, xt, t, key):
-        """One reverse step x_t -> x_{t-1} (reference/ddpm/__init__.py:230-255)."""
+    def p_sample_step(self, xt, t, key, z=None):
+        """One reverse step x_t -> x_{t-1} (reference/ddpm/__init__.py:230-255).
+
+        ``z``: optional caller-provided standard-normal noise (serving's
+        per-slot pinned streams); drawn from ``key`` when omitted."""
         eps_theta = self.eps_fn(xt, t)
         ab = self.sched.alpha_bar[t].reshape(-1, 1, 1, 1)
         a = self.sched.alpha[t].reshape(-1, 1, 1, 1)
         eps_coef = (1.0 - a) / jnp.sqrt(1.0 - ab)
         mean = (xt - eps_coef * eps_theta) / jnp.sqrt(a)
         var = self.sched.sigma2[t].reshape(-1, 1, 1, 1)
-        z = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+        if z is None:
+            z = jax.random.normal(key, xt.shape, dtype=xt.dtype)
         z = jnp.where(t.reshape(-1, 1, 1, 1) > 0, z, 0.0)
         return mean + jnp.sqrt(var) * z
 
@@ -80,7 +84,8 @@ class DenoiseDiffusion:
     def sample(self, key, n: int, img_shape: Tuple[int, int, int],
                track_x0: bool = False,
                steps: Optional[jnp.ndarray] = None,
-               x_init: Optional[jnp.ndarray] = None):
+               x_init: Optional[jnp.ndarray] = None,
+               slot_seeds: Optional[jnp.ndarray] = None):
         """Full reverse process as one lax.scan; optionally also return the
         per-step x0 estimates (denoise-animation capability,
         reference/ddpm/evaluate.py:90-129).
@@ -88,6 +93,10 @@ class DenoiseDiffusion:
         ``steps``/``x_init`` support chunked execution (environments capping
         single-XLA-program runtime): pass a slice of the descending
         t-sequence (pad with t=-1 no-ops) and the carried state.
+
+        ``slot_seeds``: optional [n] per-slot seeds making each sample's
+        per-step noise depend only on (its seed, the absolute t) — the
+        serving pinned-batching contract (diffusion._slot_normal).
         """
         key, xkey = jax.random.split(key)
         x = x_init if x_init is not None else jax.random.normal(
@@ -103,7 +112,13 @@ class DenoiseDiffusion:
             if track_x0:
                 eps = self.eps_fn(x, tb)
                 out = self.p_x0(x, tb, eps)
-            x_new = self.p_sample_step(x, tb, sub)
+            z = None
+            if slot_seeds is not None:
+                from diffusionmodel_tpu.diffusion import _slot_normal
+
+                z = _slot_normal(slot_seeds, jnp.maximum(t, 0),
+                                 tuple(img_shape)).astype(x.dtype)
+            x_new = self.p_sample_step(x, tb, sub, z=z)
             # t == -1 entries are padding from chunked execution: no-op.
             x = jnp.where(t >= 0, x_new, x)
             return (x, key), out
@@ -151,7 +166,7 @@ def make_textbook_chunk_fn(model, dc, n_sample: int, img_shape,
     provided step slice."""
     import jax.numpy as jnp
 
-    def chunk_fn(params, batch_stats, x, key, steps):
+    def chunk_fn(params, batch_stats, x, key, steps, slot_seeds=None):
         def eps_fn(xx, tt):
             variables = {"params": params}
             if use_bn:
@@ -164,7 +179,8 @@ def make_textbook_chunk_fn(model, dc, n_sample: int, img_shape,
                                attn_mask=None, train=False)
 
         dd = DenoiseDiffusion(eps_fn, dc.n_T, dc.beta1, dc.beta2)
-        return dd.sample(key, n_sample, img_shape, steps=steps, x_init=x)
+        return dd.sample(key, n_sample, img_shape, steps=steps, x_init=x,
+                         slot_seeds=slot_seeds)
 
     return chunk_fn
 

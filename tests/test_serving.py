@@ -58,8 +58,9 @@ def test_seed_pinned_reproducible(tiny):
 def test_pinned_batches_with_unpinned_under_deterministic_sampler(tiny):
     """Deterministic samplers (ddim eta=0 / dpmpp): a seed-pinned request
     batches WITH other traffic and still reproduces its solo-run images
-    exactly — per-slot start noise comes from the request's own seed, so
-    batch composition cannot leak into the result."""
+    BIT-exactly — per-slot start noise comes from the request's own seed,
+    so batch composition cannot leak into the result (the determinism
+    contract PARITY.md documents; ADVICE r3 asked for byte-equality)."""
     import dataclasses as _dc
 
     cfg, model, sched, params = tiny
@@ -74,26 +75,76 @@ def test_pinned_batches_with_unpinned_under_deterministic_sampler(tiny):
         f2 = svc.submit([2, 2], guide_w=3.0)
         b, other = f1.result(), f2.result()
         st1 = dict(svc.stats)
-    np.testing.assert_allclose(a, b, atol=1e-6)
+    np.testing.assert_array_equal(a, b)
     assert st1["batches"] - st0["batches"] == 1  # they batched
     assert st1["pinned_batches"] - st0["pinned_batches"] == 1
     assert other.shape == (2, 32, 32, 3)
 
 
-def test_pinned_runs_solo_under_stochastic_sampler(tiny):
-    """Ancestral sampling shares one per-step PRNG stream across the
-    batch, so pinned requests must keep running in their own batch."""
+@pytest.mark.parametrize("kind", ["ancestral", "textbook"])
+def test_pinned_batches_under_stochastic_sampler(tiny, kind):
+    """Round 4 (VERDICT r3 #8): the STOCHASTIC samplers batch pinned
+    requests too — per-step noise rides per-slot streams derived from
+    each request's own seed (diffusion._slot_normal), so a pinned
+    request's images are bit-identical to its run-alone result whatever
+    shares the batch."""
+    if kind == "textbook":
+        from diffusionmodel_tpu.config import preset
+        from diffusionmodel_tpu.nn import build_model as _bm
+
+        cfg = preset("labml", **{
+            "model.n_feat": 8, "model.img_size": 16,
+            "model.ch_mults": (1, 2), "model.is_attn": (False, False),
+            "model.n_blocks": 1, "diffusion.n_T": 8,
+        })
+        model = _bm(cfg.model, cfg.diffusion.high_thresh)
+        sched = Schedule.create(cfg.diffusion.beta1, cfg.diffusion.beta2,
+                                cfg.diffusion.n_T)
+        x = jnp.zeros((2, 16, 16, 3))
+        v = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x,
+            jnp.zeros((2,), jnp.int32), jnp.zeros((2,)), jnp.zeros((2,)),
+            attn_mask=None, train=False)
+        params = v["params"]
+        kwargs = dict(chunk=4)
+    else:
+        cfg, model, sched, params = tiny
+        kwargs = dict(sampler="ancestral", chunk=4)
+    nc = cfg.model.n_classes
+    with SamplerService(model, cfg, sched, params, max_batch=4,
+                        max_wait_ms=1000.0, **kwargs) as svc:
+        assert not svc._deterministic
+        a = svc.generate([0, 1 % nc], guide_w=2.0, seed=7)  # solo+compile
+        st0 = dict(svc.stats)
+        f1 = svc.submit([0, 1 % nc], guide_w=2.0, seed=7)
+        f2 = svc.submit([2 % nc], guide_w=3.0, seed=9)
+        b = f1.result()
+        f2.result()
+        st1 = dict(svc.stats)
+    np.testing.assert_array_equal(a, b)
+    assert st1["batches"] - st0["batches"] == 1  # pinned requests batched
+    assert st1["pinned_batches"] - st0["pinned_batches"] == 1
+
+
+def test_seed_validation_at_submit(tiny):
+    """ADVICE r3 (medium): invalid seeds fail at submit() — before the
+    worker — so they can never poison batch neighbours; negative and
+    integral-float seeds are normalized, not rejected."""
     cfg, model, sched, params = tiny
     with SamplerService(model, cfg, sched, params, max_batch=4,
-                        sampler="ancestral", max_wait_ms=1000.0) as svc:
-        assert not svc._deterministic
-        svc.generate([0], guide_w=2.0)  # compile
-        f1 = svc.submit([0, 1], guide_w=2.0, seed=7)
-        f2 = svc.submit([2], guide_w=2.0, seed=9)
-        f1.result(), f2.result()
-        st = dict(svc.stats)
-    assert st["batches"] == 3  # pinned requests never shared a batch
-    assert st["pinned_batches"] == 2
+                        sampler="ddim", max_wait_ms=500.0) as svc:
+        with pytest.raises(ValueError):
+            svc.submit([0], seed="not-an-int")
+        with pytest.raises(ValueError):
+            svc.submit([0], seed=1.5)
+        # negative seeds (previously PRNGKey-legal) still work, mapped
+        # into the np-rng domain; a bad future never reaches the worker.
+        a = svc.generate([0, 1], guide_w=2.0, seed=-1)
+        b = svc.generate([0, 1], guide_w=2.0, seed=-1)
+        c = svc.generate([0, 1], guide_w=2.0, seed=7.0)  # JSON float
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == c.shape == (2, 32, 32, 3)
 
 
 def test_mixed_scales_and_validation(tiny):
