@@ -100,18 +100,40 @@ class LdmRunner:
         z0 = jnp.zeros((1, 8, 8, 4))
         img0 = jnp.zeros((1, 64, 64, 3))
         if sd_ckpt:
-            from diffusionmodel_tpu.compat.sd_convert import load_sd_checkpoint
+            from diffusionmodel_tpu.compat.sd_convert import (
+                load_sd_checkpoint,
+                merge_params,
+            )
 
-            self.params, self.ae_params, missing = load_sd_checkpoint(
+            self.params, self.ae_params, missing, extra = load_sd_checkpoint(
                 sd_ckpt,
                 ae_mults=ae_mults,
                 channel_multipliers=a["channel_multipliers"],
                 attention_levels=a["attention_levels"],
                 n_res_blocks=a.get("n_res_blocks", 2))
+            # non-strict load (reference util.py:97-99): keys absent from
+            # the checkpoint keep their initialized values. Init is paid
+            # only for the halves that actually have gaps.
+            uk, ak = jax.random.split(key)
+            if any(k.startswith("model.diffusion_model.") for k in missing):
+                init_u = jax.jit(self.unet.init)(
+                    uk, z0, jnp.zeros((1,)),
+                    jnp.zeros((1, 77, self.d_cond)))["params"]
+                self.params = merge_params(init_u, self.params)
+            if any(k.startswith("first_stage_model.") for k in missing):
+                init_a = jax.jit(self.ae.init)(
+                    ak, img0, jax.random.PRNGKey(0))["params"]
+                self.ae_params = merge_params(init_a, self.ae_params)
             if verbose:
-                print(f"Loaded SD checkpoint: {sd_ckpt}"
-                      + (f" ({len(missing)} keys missing; non-strict like "
-                         "the reference loader)" if missing else ""))
+                msg = f"Loaded SD checkpoint: {sd_ckpt}"
+                if missing:
+                    msg += (f" ({len(missing)} keys missing, kept at init; "
+                            "non-strict like the reference loader)")
+                if extra:
+                    msg += (f" ({len(extra)} checkpoint keys unused — "
+                            "cond_stage/EMA/buffers load elsewhere or not "
+                            "at all)")
+                print(msg)
         else:
             # deterministic random init — documented fallback for
             # zero-egress hosts with no sd-v1-4.ckpt (util.py:28-103).
