@@ -135,6 +135,11 @@ def main() -> None:
     ap.add_argument("--fast-steps", type=int, default=None,
                     help="network evaluations for the fast sampler "
                          "(default: 50 for ddim, 20 for dpmpp)")
+    ap.add_argument("--cfg-fixed-orientation", action="store_true",
+                    help="Q1 A/B: sample with the CORRECTED guidance "
+                         "orientation instead of the reference's as-written "
+                         "(1+w)*uncond - w*cond arithmetic "
+                         "(new_scripy.py:450-470; PARITY.md Q1)")
     args = ap.parse_args()
 
     import jax
@@ -184,6 +189,9 @@ def main() -> None:
     import dataclasses as _dc
 
     cfg = cfg.replace(model=_dc.replace(cfg.model, n_classes=n_classes))
+    if args.cfg_fixed_orientation:
+        cfg = cfg.replace(diffusion=_dc.replace(
+            cfg.diffusion, cfg_fixed_orientation=True))
     model = build_model(cfg.model, cfg.diffusion.high_thresh)
     sched = Schedule.create(cfg.diffusion.beta1, cfg.diffusion.beta2,
                             cfg.diffusion.n_T)
@@ -254,6 +262,8 @@ def main() -> None:
     entry = gates.setdefault(str(label), {})
     entry["ckpt"] = args.ckpt
     entry["params"] = "raw" if args.raw_params else "ema_when_present"
+    entry["cfg_orientation"] = ("fixed" if args.cfg_fixed_orientation
+                                else "as_written")
     rounds = -(-n_per // chunk_pc)  # ceil: never silently under-generate
     for w in args.scales:
         t0 = time.time()

@@ -70,6 +70,14 @@ def main() -> None:
                          "fetch stalls ~2-7 min on this tunneled host); "
                          "set very large for legs whose artifact of "
                          "record is the final checkpoint")
+    ap.add_argument("--co-flip-mask", action="store_true",
+                    help="Q5 A/B (VERDICT r3 #3): RandomHorizontalFlip "
+                         "co-flips the attention mask with the image "
+                         "(the reference flips the image only, "
+                         "new_scripy.py:683-688)")
+    ap.add_argument("--out-dir", default=OUT_DIR,
+                    help="checkpoint directory (A/B legs use distinct "
+                         "dirs so baselines are never overwritten)")
     args = ap.parse_args()
 
     from benchmarks.bench_quality import ensure_crops
@@ -85,8 +93,9 @@ def main() -> None:
         "train.eval_sample_count": 0,    # gates run out-of-loop
         "train.min_save_ep": 0, "train.save_freq": args.save_freq,
         "train.patience": 10_000,
-        "train.save_dir": OUT_DIR,
+        "train.save_dir": args.out_dir,
         "train.ema_decay": args.ema_decay,
+        "train.co_flip_mask": args.co_flip_mask,
         # tunneled-device fetch costs ~1 min; early epochs improve every
         # epoch, so rate-limit the best-state snapshot (bookkeeping stays
         # exact per-epoch)

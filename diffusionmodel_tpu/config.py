@@ -136,6 +136,17 @@ class TrainConfig:
     # Rematerialize activations in the backward pass (jax.checkpoint) —
     # the 353M-param flagship at 256px does not fit 16GB HBM without it.
     remat: bool = True
+    # Selective-remat policy when remat=True: "full" recomputes the whole
+    # denoiser in the backward; "dots" saves MXU (conv/matmul) outputs and
+    # recomputes only the cheap elementwise/norm ops
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — less
+    # recompute than "full", less HBM than remat=False (VERDICT r3 #1).
+    remat_policy: str = "full"
+    # lax.scan unroll factor for the in-graph gradient-accumulation loop.
+    # 1 = rolled (one compiled body, smallest program); accum_steps =
+    # fully unrolled (XLA may overlap/pipeline micro-batches better at
+    # the cost of compile time). Probed by benchmarks/probe_mfu.py.
+    accum_unroll: int = 1
     # Storage dtype of Adam's first moment (optax mu_dtype). "bfloat16"
     # halves mu's HBM footprint (~0.7 GB for the 353M flagship); the EMA
     # update itself still computes in fp32 before the storage cast. The

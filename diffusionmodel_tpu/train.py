@@ -142,7 +142,14 @@ def _make_loss_fn(model, sched: Schedule, cfg: Config, has_bn: bool,
     if cfg.train.remat:
         # rematerialize the denoiser in the backward pass: trades ~1/3 more
         # FLOPs for fitting the 353M-param 256px training step in HBM.
-        net = jax.checkpoint(net)
+        # remat_policy="dots" keeps MXU outputs and recomputes only the
+        # cheap elementwise/norm ops (selective remat, VERDICT r3 #1).
+        if cfg.train.remat_policy == "dots":
+            net = jax.checkpoint(
+                net,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        else:
+            net = jax.checkpoint(net)
 
     def loss_fn(params, batch_stats, key, x, c, mask):
         cell = {}
@@ -187,7 +194,8 @@ def make_train_step(model, sched: Schedule, cfg: Config,
             return (grads_acc, new_bs, loss_acc + loss, key), None
 
         (grads, new_bs, loss_sum, _), _ = jax.lax.scan(
-            body, (zero_grads, state.batch_stats, jnp.zeros(()), key), batch
+            body, (zero_grads, state.batch_stats, jnp.zeros(()), key), batch,
+            unroll=min(max(cfg.train.accum_unroll, 1), a),
         )
         grads = jax.tree.map(lambda g: g / a, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
