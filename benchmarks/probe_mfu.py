@@ -28,20 +28,23 @@ import time
 sys.path.insert(0, ".")
 
 VARIANTS = {
-    # name: (batch_size, accum_steps, remat, remat_policy, accum_unroll)
-    "mb1r0": (1, 4, False, "full", 1),
-    "mb2r0": (2, 2, False, "full", 1),
-    "mb2r1": (2, 2, True, "full", 1),
-    "mb1r1": (1, 4, True, "full", 1),
+    # name: (batch_size, accum_steps, remat, remat_policy, accum_unroll,
+    #        grad_accum_dtype)
+    "mb1r0": (1, 4, False, "full", 1, "float32"),
+    "mb2r0": (2, 2, False, "full", 1, "float32"),
+    "mb2r1": (2, 2, True, "full", 1, "float32"),
+    "mb1r1": (1, 4, True, "full", 1, "float32"),
     # round-4 levers (VERDICT r3 #1): selective remat keeps MXU outputs
     # and recomputes only elementwise/norm ops — less recompute than full
     # remat, less HBM than remat OFF — which may unlock micro-batch >=2;
     # accum_unroll=4 unrolls the grad-accumulation scan so XLA can
-    # software-pipeline across micro-batches.
-    "mb1r0u4": (1, 4, False, "full", 4),
-    "mb2r1d": (2, 2, True, "dots", 1),
-    "mb4r1d": (4, 1, True, "dots", 1),
-    "mb4r1": (4, 1, True, "full", 1),
+    # software-pipeline across micro-batches; bf16 grad accumulators halve
+    # the scan carry's HBM traffic.
+    "mb1r0u4": (1, 4, False, "full", 4, "float32"),
+    "mb1r0g": (1, 4, False, "full", 1, "bfloat16"),
+    "mb2r1d": (2, 2, True, "dots", 1, "float32"),
+    "mb4r1d": (4, 1, True, "dots", 1, "float32"),
+    "mb4r1": (4, 1, True, "full", 1, "float32"),
 }
 
 
@@ -56,12 +59,12 @@ def run_variant(name: str) -> dict:
     from diffusionmodel_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    b, a, remat, policy, unroll = VARIANTS[name]
+    b, a, remat, policy, unroll, gdt = VARIANTS[name]
     cfg = preset("full", **{
         "model.dtype": "bfloat16", "model.n_classes": 5,
         "train.batch_size": b, "train.accum_steps": a,
         "train.remat": remat, "train.remat_policy": policy,
-        "train.accum_unroll": unroll,
+        "train.accum_unroll": unroll, "train.grad_accum_dtype": gdt,
     })
     mc, dc = cfg.model, cfg.diffusion
     model = build_model(mc, dc.high_thresh)
@@ -97,6 +100,7 @@ def run_variant(name: str) -> dict:
     return {
         "variant": name, "batch_size": b, "accum": a, "remat": remat,
         "remat_policy": policy, "accum_unroll": unroll,
+        "grad_accum_dtype": gdt,
         "moment_dtype": cfg.train.moment_dtype,
         "opt_steps_per_sec": round(1.0 / tbest, 3),
         "images_per_sec": round(a * b / tbest, 2),
@@ -128,12 +132,12 @@ def warm_variant(name: str) -> dict:
     from diffusionmodel_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    b, a, remat, policy, unroll = VARIANTS[name]
+    b, a, remat, policy, unroll, gdt = VARIANTS[name]
     cfg = preset("full", **{
         "model.dtype": "bfloat16", "model.n_classes": 5,
         "train.batch_size": b, "train.accum_steps": a,
         "train.remat": remat, "train.remat_policy": policy,
-        "train.accum_unroll": unroll,
+        "train.accum_unroll": unroll, "train.grad_accum_dtype": gdt,
     })
     mc, dc = cfg.model, cfg.diffusion
     model = build_model(mc, dc.high_thresh)
@@ -217,12 +221,12 @@ def run_attribution(fastest: str = "mb1r0") -> dict:
     from diffusionmodel_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    b, a, remat, policy, unroll = VARIANTS[fastest]
+    b, a, remat, policy, unroll, gdt = VARIANTS[fastest]
     cfg = preset("full", **{
         "model.dtype": "bfloat16", "model.n_classes": 5,
         "train.batch_size": b, "train.accum_steps": a,
         "train.remat": remat, "train.remat_policy": policy,
-        "train.accum_unroll": unroll,
+        "train.accum_unroll": unroll, "train.grad_accum_dtype": gdt,
     })
     mc, dc = cfg.model, cfg.diffusion
     model = build_model(mc, dc.high_thresh)
@@ -370,9 +374,10 @@ def main() -> None:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 
-    order = (("mb1r0u4", "mb2r1d", "mb4r1d", "mb4r1") if args.only_new
+    order = (("mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1")
+             if args.only_new
              else ("mb1r0", "mb2r0", "mb2r1", "mb1r1",
-                   "mb1r0u4", "mb2r1d", "mb4r1d", "mb4r1"))
+                   "mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1"))
     skip_mb2r0 = False
     for name in order:
         if name == "mb2r0" and skip_mb2r0:

@@ -147,6 +147,11 @@ class TrainConfig:
     # fully unrolled (XLA may overlap/pipeline micro-batches better at
     # the cost of compile time). Probed by benchmarks/probe_mfu.py.
     accum_unroll: int = 1
+    # Storage dtype of the scan-carried gradient accumulator. "bfloat16"
+    # halves the carry's HBM traffic per micro-batch (2.8 GB -> 1.4 GB
+    # each way for the 353M flagship); per-micro-batch grads still
+    # compute in fp32 and the mean is restored to fp32 before Adam.
+    grad_accum_dtype: str = "float32"
     # Storage dtype of Adam's first moment (optax mu_dtype). "bfloat16"
     # halves mu's HBM footprint (~0.7 GB for the 353M flagship); the EMA
     # update itself still computes in fp32 before the storage cast. The

@@ -180,9 +180,17 @@ def make_train_step(model, sched: Schedule, cfg: Config,
     loss_fn = _make_loss_fn(model, sched, cfg, has_bn, normalize_u8)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    # grad_accum_dtype="bfloat16" stores the scan-carried accumulator in
+    # bf16: halves the carry's HBM read+write per micro-batch (~2.8 GB ->
+    # 1.4 GB each way for the 353M flagship). The per-micro-batch grads
+    # are still computed in fp32; only the running sum is stored narrow,
+    # and the mean is taken in fp32 before the optimizer (VERDICT r3 #1).
+    acc_dtype = jnp.dtype(cfg.train.grad_accum_dtype)
+
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], key):
         a = batch["x"].shape[0]
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, acc_dtype), state.params)
 
         def body(carry, mb):
             grads_acc, bs, loss_acc, key = carry
@@ -190,14 +198,18 @@ def make_train_step(model, sched: Schedule, cfg: Config,
             (loss, new_bs), grads = grad_fn(
                 state.params, bs, sub, mb["x"], mb["c"], mb.get("mask")
             )
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            grads_acc = jax.tree.map(
+                lambda acc, g: (acc + g.astype(acc_dtype)).astype(acc_dtype),
+                grads_acc, grads)
             return (grads_acc, new_bs, loss_acc + loss, key), None
 
         (grads, new_bs, loss_sum, _), _ = jax.lax.scan(
             body, (zero_grads, state.batch_stats, jnp.zeros(()), key), batch,
             unroll=min(max(cfg.train.accum_unroll, 1), a),
         )
-        grads = jax.tree.map(lambda g: g / a, grads)
+        grads = jax.tree.map(
+            lambda g, p: (g.astype(jnp.float32) / a).astype(p.dtype),
+            grads, state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
