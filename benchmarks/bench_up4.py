@@ -132,6 +132,44 @@ def main() -> None:
     reg("convtranspose_up@128", TConv(),
         [(B, 128, 128, NF), (B, 128, 128, NF)])
 
+    # exact up2+conv fusion (ops/fused_upconv.py): same params, the conv
+    # runs at half the rows — the VERDICT r3 #2 "compose the matmuls"
+    # experiment, block-level and full-forward
+    reg("up4_full_fused", UnetUp(2 * NF, NF, dtype=dt, fused_upsample=True),
+        [(B, 128, 128, NF), (B, 128, 128, NF)])
+
+    from diffusionmodel_tpu.nn.factory import build_model
+    from diffusionmodel_tpu.config import preset
+
+    for fused in (False, True):
+        cfg = preset("full", **{"model.dtype": "bfloat16",
+                                "model.n_classes": 5,
+                                "model.fused_upsample": fused})
+        net = build_model(cfg.model, cfg.diffusion.high_thresh)
+        name = "fwd_full_fused" if fused else "fwd_full"
+
+        class _Fwd:
+            """Duck-typed module wrapper: flagship forward at the CFG
+            sampler's hot shape. init is jitted (eager init of the 353M
+            model dispatches per-op over the tunnel)."""
+
+            def __init__(self, n):
+                self.n = n
+
+            def init(self, k, x):
+                b = x.shape[0]
+                return jax.jit(self.n.init)(
+                    k, x, jnp.zeros((b,), jnp.int32),
+                    jnp.full((b,), 0.5), jnp.ones((b,)))
+
+            def apply(self, p, x):
+                b = x.shape[0]
+                return self.n.apply(
+                    p, x, jnp.zeros((b,), jnp.int32),
+                    jnp.full((b,), 0.5), jnp.ones((b,)))
+
+        reg(name, _Fwd(net), [(B, 256, 256, 3)])
+
     if args.warm:
         for name, (jf, _, struct_args) in progs.items():
             t0 = time.time()

@@ -53,6 +53,12 @@ class ModelConfig:
     mnist_style_ctx_flip: bool = False
     # Use fused Pallas kernels for CoordAttn/SEBlock/LocalEnhancer when on TPU.
     use_pallas: bool = False
+    # Compute the UnetUp bilinear-x2 + conv3x3 pair through the exact
+    # algebraic fusion (ops/fused_upconv.py): the conv runs at half the
+    # rows and the 4x-resolution intermediate is never materialized —
+    # same parameters, checkpoint-compatible. Measured by
+    # benchmarks/bench_up4.py (VERDICT r3 #2).
+    fused_upsample: bool = False
     # Compute dtype ("float32" or "bfloat16"); params always float32.
     dtype: str = "float32"
     # ddpm_unet (annotated-DDPM family) only — reference/ddpm/unet.py:308-417:

@@ -241,20 +241,56 @@ class UnetDown(nn.Module):
         return x
 
 
+class _Conv3x3Params(nn.Module):
+    """Registers kernel/bias with nn.Conv's exact tree layout and torch
+    inits, for paths that consume the weights directly (fused upsample).
+    Named "Conv_0" at the call site so checkpoints trained with either
+    path load into the other unchanged."""
+
+    out_ch: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (3, 3, self.in_ch, self.out_ch), jnp.float32)
+        bias = self.param("bias", make_bias_init(self.in_ch * 9),
+                          (self.out_ch,), jnp.float32)
+        return kernel, bias
+
+
 class UnetUp(nn.Module):
     """Up block (new_scripy.py:237-253): cat(x, skip) -> bilinear x2
-    (align_corners=True) -> conv3x3 -> 2x ResConvBlock."""
+    (align_corners=True) -> conv3x3 -> 2x ResConvBlock.
+
+    ``fused_upsample=True`` computes the SAME upsample+conv pair through
+    the exact algebraic fusion in ops/fused_upconv.py (the 3x3 conv runs
+    at half the rows; the 4x-resolution C_in intermediate is never
+    materialized) — identical parameters, checkpoint-compatible."""
 
     in_ch: int
     out_ch: int
     norm: str = "group"
     dtype: jnp.dtype = jnp.float32
+    fused_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         x = jnp.concatenate([x, skip], axis=-1)
-        x = upsample_bilinear_align_corners(x, 2)
-        x = conv(self.out_ch, 3, self.in_ch, dtype=self.dtype)(x)
+        if self.fused_upsample:
+            from diffusionmodel_tpu.ops.fused_upconv import (
+                up2_conv3x3_align_corners,
+            )
+
+            kernel, bias = _Conv3x3Params(self.out_ch, self.in_ch,
+                                          name="Conv_0")()
+            x = up2_conv3x3_align_corners(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                bias.astype(self.dtype))
+        else:
+            x = upsample_bilinear_align_corners(x, 2)
+            x = conv(self.out_ch, 3, self.in_ch, dtype=self.dtype,
+                     name="Conv_0")(x)
         x = ResConvBlock(self.out_ch, self.out_ch, norm=self.norm,
                          dtype=self.dtype)(x, train)
         x = ResConvBlock(self.out_ch, self.out_ch, norm=self.norm,

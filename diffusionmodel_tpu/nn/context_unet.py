@@ -57,6 +57,7 @@ class ContextUnet(nn.Module):
     mnist_style_ctx_flip: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fused_upsample: bool = False
     # >0: insert spatial (H-axis) sharding constraints for big-image mesh
     # forwards — H stays split over the 'spatial' mesh axis on large maps
     # and is gathered on small ones (see parallel.spatial.constrain_spatial;
@@ -143,16 +144,16 @@ class ContextUnet(nn.Module):
         up1 = constrain_spatial(up1, self.spatial_shards)
 
         up2 = UnetUp(16 * nf, 4 * nf, norm=self.norm, dtype=self.dtype,
-                     name="up1")(cemb1 * up1 + temb1, down4, train)
+                     fused_upsample=self.fused_upsample, name="up1")(cemb1 * up1 + temb1, down4, train)
         up2 = constrain_spatial(up2, self.spatial_shards)
         up3 = UnetUp(8 * nf, 2 * nf, norm=self.norm, dtype=self.dtype,
-                     name="up2")(cemb2 * up2 + temb2, down3, train)
+                     fused_upsample=self.fused_upsample, name="up2")(cemb2 * up2 + temb2, down3, train)
         up3 = constrain_spatial(up3, self.spatial_shards)
         up4 = UnetUp(4 * nf, nf, norm=self.norm, dtype=self.dtype,
-                     name="up3")(up3, down2, train)
+                     fused_upsample=self.fused_upsample, name="up3")(up3, down2, train)
         up4 = constrain_spatial(up4, self.spatial_shards)
         up5 = UnetUp(2 * nf, nf, norm=self.norm, dtype=self.dtype,
-                     name="up4")(up4, down1, train)
+                     fused_upsample=self.fused_upsample, name="up4")(up4, down1, train)
         up5 = constrain_spatial(up5, self.spatial_shards)
 
         if self.use_local_enhancer:

@@ -31,6 +31,7 @@ def build_model(mc: ModelConfig, high_thresh: float = 1.2,
             mnist_style_ctx_flip=mc.mnist_style_ctx_flip,
             dtype=dtype,
             use_pallas=mc.use_pallas,
+            fused_upsample=mc.fused_upsample,
             spatial_shards=spatial_shards,
         )
     if mc.arch == "mnist_unet":

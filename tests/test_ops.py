@@ -73,3 +73,50 @@ def test_adaptive_pool_matches_torch(in_size, out_size):
         .numpy()
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_up2_conv3x3_matches_unfused_op():
+    """ops/fused_upconv: conv3x3(up2(x)) computed at half the rows is
+    EXACT vs the unfused pair (fp32), including the borders where the
+    conv's zero padding interacts with align-corners interpolation."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from diffusionmodel_tpu.ops.fused_upconv import up2_conv3x3_align_corners
+
+    for h, w, cin, cout in [(8, 8, 6, 5), (16, 12, 4, 7), (5, 9, 3, 2)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, h, w, cin))
+        kern = jax.random.normal(jax.random.PRNGKey(1),
+                                 (3, 3, cin, cout)) * 0.1
+        b = jax.random.normal(jax.random.PRNGKey(2), (cout,))
+        up = upsample_bilinear_align_corners(x, 2)
+        ref = lax.conv_general_dilated(
+            up, kern, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = up2_conv3x3_align_corners(x, kern, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+
+def test_unetup_fused_upsample_same_params_same_output():
+    """UnetUp(fused_upsample=True) has the IDENTICAL parameter tree
+    (checkpoint-compatible) and matches the unfused block's output."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusionmodel_tpu.nn.blocks import UnetUp
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 12))
+    skip = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 12))
+    plain = UnetUp(24, 16)
+    fused = UnetUp(24, 16, fused_upsample=True)
+    params = plain.init(jax.random.PRNGKey(2), x, skip)
+    params_f = fused.init(jax.random.PRNGKey(2), x, skip)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, params_f)
+    a = plain.apply(params, x, skip)
+    b = fused.apply(params, x, skip)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
