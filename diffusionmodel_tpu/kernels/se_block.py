@@ -184,6 +184,19 @@ def se_block_fused(x, w1, w2, force_xla: bool = False,
     use_pallas = (_HAS_PALLAS and tiling is not None and aligned
                   and (on_tpu or interpret))
     if force_xla or not use_pallas:
+        if not force_xla:
+            # never silent (VERDICT r3 #6): the caller asked for the fused
+            # kernel; say once per shape why XLA runs instead. Trace-time
+            # only — zero cost in the compiled program.
+            import logging
+            why = ("pallas unavailable" if not _HAS_PALLAS else
+                   f"C={c} not lane-aligned (C % 128 != 0)" if not aligned
+                   else "no VMEM-feasible H-tiling" if tiling is None
+                   else "not on TPU")
+            logging.getLogger(__name__).warning(
+                "se_block_fused%s: falling back to XLA twin (%s); measured "
+                "at parity anyway — see benchmarks/RESULTS.md kernels table",
+                (b, h, w, c), why)
         return se_block_xla(x, w1, w2)
     n_tiles, tile_h = tiling
     return pl.pallas_call(
