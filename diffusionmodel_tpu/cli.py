@@ -22,7 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "generate", "crop", "serve", "eval",
                             "visualize",
-                            "txt2img", "img2img", "inpaint"],
+                            "txt2img", "img2img", "inpaint", "train_ldm"],
                    help="train, generate, crop (offline dataset build), "
                         "serve (HTTP generation service), eval (offline "
                         "folder-vs-folder quality metrics), visualize "
@@ -129,6 +129,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "DDIM-50-class quality in ~25 steps (img2img/"
                         "inpaint use DDIM: they need q_sample/paint)")
     p.add_argument("--out_dir", type=str, default="./output/ldm/")
+    # train_ldm mode (beyond-reference: the SD subtree is inference-only)
+    p.add_argument("--ldm_native", type=str, default=None,
+                   help="LDM modes: load a --mode train_ldm checkpoint "
+                        "({arch, unet, ae} pickle); train_ldm: where to "
+                        "write it (default OUT_DIR/ldm_native.pkl)")
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="train_ldm: Adam learning rate")
+    p.add_argument("--uncond_prob", type=float, default=0.1,
+                   help="train_ldm: CFG conditioning-dropout probability")
+    p.add_argument("--prompt_template", type=str, default="a photo of a {}",
+                   help="train_ldm: per-image prompt from its class "
+                        "subdirectory name ('{}' slot); flat folders use "
+                        "--prompt for every image")
+    p.add_argument("--remat", action="store_true",
+                   help="train_ldm: rematerialize the UNet backward "
+                        "(fits SD-scale training in 16 GB)")
     return p
 
 
@@ -297,6 +313,62 @@ def main(argv=None) -> int:
             out_dir=None if args.out_dir == "./output/ldm/" else args.out_dir,
         )
         return 0
+    if args.mode == "train_ldm":
+        if not args.data_root:
+            print("Error: --data_root required for train_ldm mode")
+            return 1
+        import json
+        import os
+
+        import numpy as np
+
+        from diffusionmodel_tpu.data.image_folder import ImageFolderDataset
+        from diffusionmodel_tpu.models.latent_diffusion.runner import (
+            LdmRunner,
+        )
+        from diffusionmodel_tpu.models.latent_diffusion.training import (
+            fit_ldm,
+        )
+        from diffusionmodel_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+        size = args.img_size
+        if size % 8:
+            print(f"Error: --img_size must be a multiple of 8 (the SD "
+                  f"f=8 VAE contract), got {size}")
+            return 1
+        try:
+            ds = ImageFolderDataset(args.data_root, img_size=size,
+                                    normalize=True)
+        except FileNotFoundError as e:
+            print(f"Error: {e}")
+            return 1
+        if len(ds) == 0:
+            print(f"Error: no images found under {args.data_root}")
+            return 1
+        images = np.stack([ds.load(i, augment=False)[0]
+                           for i in range(len(ds))])
+        multi = len(ds.classes) > 1
+        prompts = [args.prompt_template.format(ds.classes[ds.labels[i]])
+                   if multi else args.prompt for i in range(len(ds))]
+        runner = LdmRunner(sd_ckpt=args.ckpt, arch=args.ldm_arch,
+                           use_flash=args.flash, verbose=True,
+                           seed=args.seed if args.seed is not None else 42)
+        os.makedirs(args.out_dir, exist_ok=True)
+        out_path = args.ldm_native or os.path.join(args.out_dir,
+                                                   "ldm_native.pkl")
+        bs = min(args.batch_size, len(ds))
+        _, history = fit_ldm(
+            runner, images, prompts, epochs=args.epochs or 10,
+            batch_size=bs, lr=args.lr, uncond_prob=args.uncond_prob,
+            remat=args.remat, out_path=out_path,
+            seed=args.seed if args.seed is not None else 0)
+        print(json.dumps({"mode": "train_ldm", "images": len(ds),
+                          "epochs": len(history),
+                          "first_loss": round(history[0], 4),
+                          "last_loss": round(history[-1], 4),
+                          "ckpt": out_path}))
+        return 0
     if args.mode in ("txt2img", "img2img", "inpaint"):
         from diffusionmodel_tpu.models.latent_diffusion.runner import (
             LdmRunner,
@@ -313,6 +385,7 @@ def main(argv=None) -> int:
         runner = LdmRunner(
             sd_ckpt=args.ckpt, arch=args.ldm_arch, use_flash=args.flash,
             sampler=args.ldm_sampler, steps=args.steps or 50,
+            native_ckpt=args.ldm_native,
         )
         scale = args.scale
         if args.mode == "txt2img":

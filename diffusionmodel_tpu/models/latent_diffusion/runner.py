@@ -82,7 +82,8 @@ class LdmRunner:
     def __init__(self, sd_ckpt: Optional[str] = None, arch: str = "sd",
                  use_flash: bool = True, sampler: str = "ddim",
                  steps: int = 50, ddim_eta: float = 0.0, seed: int = 42,
-                 use_clip: bool = True, verbose: bool = True):
+                 use_clip: bool = True, verbose: bool = True,
+                 native_ckpt: Optional[str] = None):
         a = dict(ARCHS[arch])
         ae_channels = a.pop("ae_channels")
         ae_mults = a.pop("ae_mults")
@@ -148,6 +149,25 @@ class LdmRunner:
             if verbose:
                 print("No SD checkpoint given: using deterministic random "
                       "weights (no pretrained weights in this environment)")
+
+        if native_ckpt:
+            # params trained by training.fit_ldm (--mode train_ldm):
+            # {"arch", "unet", "ae"} pickle — the frozen VAE rides along
+            # because the UNet was trained in exactly that VAE's latent
+            # space.
+            import pickle
+
+            with open(native_ckpt, "rb") as f:
+                payload = pickle.load(f)
+            if payload.get("arch") not in (None, arch):
+                raise ValueError(
+                    f"native checkpoint was trained with arch="
+                    f"{payload['arch']!r}; runner built with {arch!r}")
+            self.params = jax.tree.map(jnp.asarray, payload["unet"])
+            if "ae" in payload:
+                self.ae_params = jax.tree.map(jnp.asarray, payload["ae"])
+            if verbose:
+                print(f"Loaded native LDM checkpoint: {native_ckpt}")
 
         # call-time cells: pipelines close over eps/encode/decode fns; the
         # cells hold the TRACED params during jit tracing only.

@@ -26,6 +26,7 @@ version of that loop, the capability the reference never shipped:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -83,8 +84,12 @@ def make_ldm_train_step(unet, tx: optax.GradientTransformation,
 
     batch: images [B, H, W, 3] when ``ae`` is given (frozen-VAE encode
     in-graph, H/W must be 8x the UNet's latent size), else latents
-    [B, h, w, z] (the pre-encoded production path — encode once, reuse
-    across epochs instead of paying the VAE every step).
+    [B, h, w, z], or a ``(mean, std)`` tuple of UNSCALED posterior
+    moments (the pre-encoded production path: ``fit_ldm`` runs the VAE
+    encoder ONCE over the dataset and stores moments; each step then
+    draws a fresh posterior sample as two elementwise ops — exactly the
+    per-step ``dist.sample`` stochasticity of the in-graph VAE path at
+    none of its conv cost).
     """
     sched = sched or ldm_schedule()
 
@@ -105,6 +110,10 @@ def make_ldm_train_step(unet, tx: optax.GradientTransformation,
             dist = ae.apply(ae_params, batch, method=ae.encode)
             z0 = jax.lax.stop_gradient(
                 latent_scaling * dist.sample(kz))
+        elif isinstance(batch, tuple):
+            mean, std = batch
+            z0 = latent_scaling * (
+                mean + std * jax.random.normal(kz, mean.shape, mean.dtype))
         else:
             z0 = batch
 
@@ -118,3 +127,103 @@ def make_ldm_train_step(unet, tx: optax.GradientTransformation,
         return LdmTrainState(params, opt_state, state.step + 1), loss
 
     return step
+
+
+def fit_ldm(runner, images, prompts, *, epochs: int = 10,
+            batch_size: int = 4, lr: float = 1e-4,
+            uncond_prob: float = 0.1, remat: bool = False, seed: int = 0,
+            out_path: Optional[str] = None, log=print):
+    """End-to-end LDM training driver behind ``--mode train_ldm`` — the
+    workflow the reference never shipped (its stable-diffusion subtree is
+    inference-only; the training pattern is the labml DDPM experiment,
+    reference/ddpm/experiment.py:102-144, here moved to latent space).
+
+    images: [N, H, W, 3] float in [-1, 1] (H = W = 8 x latent size);
+    prompts: N strings — conditioning via the runner's embedder (CLIP
+    when available, else the deterministic prompt-hash fallback, which
+    keeps train-time and sample-time embeddings consistent so prompt
+    conditioning genuinely trains).
+
+    TPU-first shape: the frozen VAE encoder runs ONCE over the dataset
+    (posterior moments cached on host); every optimizer step is one
+    compiled XLA program over a fixed [batch_size, ...] shape (the final
+    partial batch is dropped per epoch, standard drop_last semantics) in
+    which a fresh posterior sample costs two elementwise ops. Returns
+    ``(state, loss_history)``; with ``out_path`` the trained UNet params
+    are pickled as {"arch", "unet"} — loadable by ``LdmRunner(
+    native_ckpt=...)`` for txt2img/img2img/inpaint on the trained model.
+    """
+    import numpy as np
+
+    n = int(images.shape[0])
+    if len(prompts) != n:
+        raise ValueError(f"{n} images but {len(prompts)} prompts")
+    if n < batch_size:
+        raise ValueError(f"need >= batch_size={batch_size} images, got {n}")
+
+    # ---- one-time conditioning + frozen-VAE encode (moments, unscaled)
+    cond_all = np.asarray(runner.cond(list(prompts)), np.float32)
+    uncond = np.asarray(runner.cond([""]), np.float32)[0]
+
+    @jax.jit
+    def encode(ap, img):
+        dist = runner.ae.apply({"params": ap}, img, method="encode")
+        return dist.mean, dist.std
+
+    means, stds = [], []
+    for i in range(0, n, batch_size):
+        chunk = images[i:i + batch_size]
+        real = chunk.shape[0]
+        if real < batch_size:  # reuse the one compiled shape for the tail
+            chunk = np.concatenate(
+                [chunk, chunk[-1:].repeat(batch_size - real, 0)], 0)
+        m, s = encode(runner.ae_params, jnp.asarray(chunk))
+        means.append(np.asarray(m)[:real])
+        stds.append(np.asarray(s)[:real])
+    mean_all = np.concatenate(means, 0)
+    std_all = np.concatenate(stds, 0)
+
+    tx = optax.adam(lr)
+    variables = {"params": runner.params}
+    state = LdmTrainState(variables, tx.init(variables),
+                          jnp.zeros((), jnp.int32))
+    step = jax.jit(make_ldm_train_step(
+        runner.unet, tx, uncond_prob=uncond_prob, remat=remat),
+        donate_argnums=(0,))
+
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    uncond_j = jnp.asarray(uncond)
+    history = []
+    for ep in range(epochs):
+        order = rng.permutation(n)
+        losses = []
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i:i + batch_size]
+            key, k = jax.random.split(key)
+            state, loss = step(
+                state, k,
+                (jnp.asarray(mean_all[idx]), jnp.asarray(std_all[idx])),
+                jnp.asarray(cond_all[idx]), uncond_cond=uncond_j)
+            losses.append(loss)
+        ep_loss = float(jnp.mean(jnp.stack(losses)))
+        history.append(ep_loss)
+        log(f"[train_ldm] epoch {ep + 1}/{epochs} loss {ep_loss:.4f}")
+
+    if out_path:
+        import pickle
+
+        from diffusionmodel_tpu.utils.transfer import fetch_tree
+
+        tmp = out_path + ".tmp"
+        with open(tmp, "wb") as f:
+            # chunked+threaded fetch: a bare device_get of a big param
+            # tree collapses to ~5 MB/s on this tunneled platform. The
+            # FROZEN VAE rides along: the UNet was trained in THIS VAE's
+            # latent space, so sampling must reunite the exact pair.
+            pickle.dump({"arch": runner.arch,
+                         "unet": fetch_tree(state.params["params"]),
+                         "ae": fetch_tree(runner.ae_params)}, f)
+        os.replace(tmp, out_path)
+        log(f"[train_ldm] saved UNet params: {out_path}")
+    return state, history

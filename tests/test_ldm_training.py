@@ -126,3 +126,85 @@ def test_cfg_dropout_uses_uncond_embedding():
                  jax.random.normal(jax.random.PRNGKey(3), (2, 7, D_COND)),
                  uncond_cond=uncond)
     assert float(l1) == float(l2)
+
+
+def test_posterior_moments_batch_matches_vae_path_distribution():
+    """(mean, std) batches must sample the same posterior the in-graph
+    VAE path samples: with std=0 the tuple path is scaling*mean (up to
+    XLA fusion-order noise — the scalar multiply fuses into different
+    neighbours inside vs outside the step program)."""
+    from diffusionmodel_tpu.models.latent_diffusion.training import (
+        LdmTrainState,
+    )
+
+    unet = tiny_unet()
+    tx = optax.adam(1e-3)
+    state = init_ldm_train_state(unet, tx, jax.random.PRNGKey(0),
+                                 latent_hw=8, d_cond=D_COND, max_length=7)
+    sched = ldm_schedule(50)
+    mean = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    cond = jnp.zeros((2, 7, D_COND))
+    key = jax.random.PRNGKey(2)
+    step = jax.jit(make_ldm_train_step(unet, tx, sched))
+    _, l_tuple = step(state, key, (mean, jnp.zeros_like(mean)), cond)
+    _, l_plain = step(state, key, 0.18215 * mean, cond)
+    assert float(l_tuple) == pytest.approx(float(l_plain), rel=1e-5)
+
+
+def test_fit_ldm_cli_roundtrip(tmp_path):
+    """--mode train_ldm on an image folder, then --mode txt2img with the
+    saved native checkpoint (beyond-reference: the SD subtree is
+    inference-only, util.py:28-103 only ever loads sd-v1-4.ckpt)."""
+    import os
+
+    from PIL import Image
+
+    from diffusionmodel_tpu.cli import main
+
+    rng = np.random.RandomState(0)
+    for cls in ("ant", "bee"):
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                d / f"{i}.png")
+    out = str(tmp_path / "out")
+    assert main(["--mode", "train_ldm", "--data_root",
+                 str(tmp_path / "data"), "--ldm_arch", "tiny",
+                 "--img_size", "64", "--epochs", "2", "--batch_size", "4",
+                 "--out_dir", out, "--seed", "0"]) == 0
+    ckpt = os.path.join(out, "ldm_native.pkl")
+    assert os.path.exists(ckpt)
+    img_dir = str(tmp_path / "img")
+    assert main(["--mode", "txt2img", "--ldm_arch", "tiny",
+                 "--ldm_native", ckpt, "--prompt", "a photo of a ant",
+                 "--height", "64", "--width", "64", "--steps", "3",
+                 "--out_dir", img_dir]) == 0
+    assert sorted(os.listdir(img_dir)) == ["txt2img_00000.jpeg"]
+
+
+def test_fit_ldm_requires_enough_images():
+    from diffusionmodel_tpu.models.latent_diffusion.runner import LdmRunner
+    from diffusionmodel_tpu.models.latent_diffusion.training import fit_ldm
+
+    runner = LdmRunner(arch="tiny", use_flash=False, verbose=False,
+                       use_clip=False)
+    img = np.zeros((2, 64, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="batch_size"):
+        fit_ldm(runner, img, ["a", "b"], epochs=1, batch_size=4)
+    with pytest.raises(ValueError, match="prompts"):
+        fit_ldm(runner, img, ["a"], epochs=1, batch_size=2)
+
+
+def test_native_ckpt_arch_mismatch_rejected(tmp_path):
+    import pickle
+
+    from diffusionmodel_tpu.models.latent_diffusion.runner import LdmRunner
+
+    p = tmp_path / "native.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"arch": "sd", "unet": {}}, f)
+    with pytest.raises(ValueError, match="arch"):
+        LdmRunner(arch="tiny", use_flash=False, verbose=False,
+                  use_clip=False, native_ckpt=str(p))
