@@ -54,15 +54,19 @@ def up2_conv3x3_align_corners(x: jnp.ndarray, kernel: jnp.ndarray,
     n, h, w, cin = x.shape
     cout = kernel.shape[-1]
     dt = x.dtype
-    # operands in the compute dtype (bf16 rides the MXU at full rate),
-    # accumulation in fp32 (preferred_element_type), storage back in dt —
-    # under fp32 everything is fp32 and the pair is bit-equivalent to the
-    # unfused formulation up to summation order.
+    # All three stages compute in the operand dtype dt — the same
+    # precision profile as the unfused pair (flax conv in bf16 emits a
+    # bf16 result; the MXU still accumulates each dot in fp32
+    # internally). Under fp32 the pair is bit-equivalent to the unfused
+    # formulation up to summation order. Do NOT set
+    # preferred_element_type=f32 here: a widened output makes the VJP
+    # convolve an f32 cotangent against the bf16 kernel, which
+    # lax.conv_general_dilated rejects (mixed-dtype operands) — the
+    # fused path must stay differentiable for train-step use (bench.py).
     mw = jnp.asarray(_align_corners_matrix(w, 2 * w)).astype(dt)
     eh = jnp.asarray(_shifted_h_matrices(h)).astype(dt)
     # 1) W-upsample (half-size intermediate: H x 2W)
-    xw = jnp.einsum("ow,nhwc->nhoc", mw, x,
-                    preferred_element_type=jnp.float32).astype(dt)
+    xw = jnp.einsum("ow,nhwc->nhoc", mw, x)
     # 2) the three 1x3 row-convs as ONE conv with 3*Cout channels:
     #    kstack[..., d*Cout:(d+1)*Cout] = kernel[d]
     kstack = jnp.concatenate([kernel[d] for d in range(3)],
@@ -70,12 +74,10 @@ def up2_conv3x3_align_corners(x: jnp.ndarray, kernel: jnp.ndarray,
     c = lax.conv_general_dilated(
         xw, kstack.astype(dt), window_strides=(1, 1),
         padding=((0, 0), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    c = c.reshape(n, h, 2 * w, 3, cout).astype(dt)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    c = c.reshape(n, h, 2 * w, 3, cout)
     # 3) the three shifted H-upsample matmuls, contracted in one einsum
-    y = jnp.einsum("dph,nhwdc->npwc", eh, c,
-                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("dph,nhwdc->npwc", eh, c)
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        y = y + bias.astype(dt)
     return y.astype(dt)

@@ -109,6 +109,31 @@ def test_context_unet_full_small():
     assert out2.shape == (b, 64, 64, 3)
 
 
+def test_context_unet_fused_upsample_equivalence():
+    """model.fused_upsample on the FULL v2 graph: identical param tree
+    (checkpoint-compatible) and matching outputs vs the unfused model —
+    the model-level guard over the op/block tests in test_ops.py.
+    bench.py runs the flagship sampler with this flag ON (round 4)."""
+    mod = ContextUnet(in_ch=3, n_feat=32, n_classes=5, img_size=64)
+    modf = ContextUnet(in_ch=3, n_feat=32, n_classes=5, img_size=64,
+                       fused_upsample=True)
+    b = 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, 64, 64, 3))
+    c = jnp.array([0, 3], dtype=jnp.int32)
+    t = jnp.full((b,), 0.5)
+    ctx = jnp.ones((b,))
+    variables = mod.init(jax.random.PRNGKey(1), x, c, t, ctx,
+                         attn_mask=None, train=False)
+    variables_f = modf.init(jax.random.PRNGKey(1), x, c, t, ctx,
+                            attn_mask=None, train=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(variables_f))
+    a = mod.apply(variables, x, c, t, ctx, attn_mask=None, train=False)
+    f = modf.apply(variables, x, c, t, ctx, attn_mask=None, train=False)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(a),
+                               atol=5e-5, rtol=1e-5)
+
+
 def test_mnist_unet_shapes():
     mod = MnistContextUnet(in_ch=1, n_feat=32, n_classes=10, img_size=28)
     b = 4

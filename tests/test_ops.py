@@ -120,3 +120,29 @@ def test_unetup_fused_upsample_same_params_same_output():
     a = plain.apply(params, x, skip)
     b = fused.apply(params, x, skip)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_fused_up2_conv3x3_differentiable_bf16():
+    """The fused pair must stay differentiable under bf16 compute — the
+    train step runs it (bench.py round 4). Regression for the
+    preferred_element_type VJP dtype mismatch (f32 cotangent vs bf16
+    kernel inside conv_general_dilated's transpose)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusionmodel_tpu.ops.fused_upconv import up2_conv3x3_align_corners
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4),
+                          dtype=jnp.bfloat16)
+    kern = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 6)) * 0.1
+            ).astype(jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(2), (6,)).astype(jnp.bfloat16)
+
+    def loss(kern, b):
+        return jnp.sum(up2_conv3x3_align_corners(x, kern, b)
+                       .astype(jnp.float32) ** 2)
+
+    gk, gb = jax.grad(loss, argnums=(0, 1))(kern, b)
+    assert gk.shape == kern.shape and gb.shape == b.shape
+    assert np.isfinite(np.asarray(gk, np.float32)).all()
+    assert np.isfinite(np.asarray(gb, np.float32)).all()
