@@ -16,6 +16,8 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -25,6 +27,14 @@ def main() -> None:
     from diffusionmodel_tpu.nn import build_model
     from diffusionmodel_tpu.serving import SamplerService
     from diffusionmodel_tpu.utils import enable_compilation_cache
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ancestral", action="store_true",
+                    help="measure ONLY the ancestral-700 service: pinned "
+                         "vs unpinned throughput (VERDICT r3 #8 — the "
+                         "stochastic samplers batch pinned requests via "
+                         "per-slot noise fold-in since round 4)")
+    args = ap.parse_args()
 
     enable_compilation_cache()
     cfg = preset("full", **{
@@ -43,6 +53,35 @@ def main() -> None:
                           if a.dtype == jnp.float32 else a, v["params"])
 
     MAXB = 10
+    if args.ancestral:
+        # ancestral-700 (the reference's own sampler, STOCHASTIC): since
+        # round 4 the per-step z is folded per slot from each request's
+        # seed chain, so pinned requests batch with unpinned traffic —
+        # unpinned-vs-pinned here is the VERDICT r3 #8 done-criterion.
+        with SamplerService(model, cfg, sched, params, max_batch=MAXB,
+                            sampler="ancestral") as svc:
+            t0 = time.time()
+            svc.generate([0], guide_w=4.0)
+            print(json.dumps({"stage": "ancestral_warmup",
+                              "seconds": round(time.time() - t0, 1)}),
+                  flush=True)
+            n_req, per = 6, 2
+            t0 = time.time()
+            futs = [svc.submit([i % 5, (i + 1) % 5], guide_w=4.0)
+                    for i in range(n_req)]
+            outs = [f.result(timeout=1800) for f in futs]
+            dt = time.time() - t0
+            assert all(np.isfinite(o).all() for o in outs)
+            print(json.dumps({
+                "stage": "ancestral_concurrent_unpinned",
+                "requests": n_req, "images": n_req * per,
+                "seconds": round(dt, 2),
+                "images_per_min": round(n_req * per * 60.0 / dt, 2),
+            }), flush=True)
+            _bench_seed_pinned(svc, np, time, json,
+                               stage="ancestral_seed_pinned", timeout=1800)
+        return
+
     with SamplerService(model, cfg, sched, params, max_batch=MAXB,
                         sampler="ddim") as svc:
         # warm compile
@@ -139,12 +178,12 @@ def main() -> None:
 
 
 def _bench_seed_pinned(svc, np, time, json, per=2,
-                       stage="concurrent_seed_pinned"):
+                       stage="concurrent_seed_pinned", timeout=600):
     n_pin = 6
     t0 = time.time()
     futs = [svc.submit([i % 5, (i + 1) % 5], guide_w=4.0, seed=100 + i)
             for i in range(n_pin)]
-    outs = [f.result(timeout=600) for f in futs]
+    outs = [f.result(timeout=timeout) for f in futs]
     dt = time.time() - t0
     assert all(np.isfinite(o).all() for o in outs)
     print(json.dumps({

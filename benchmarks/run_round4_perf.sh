@@ -50,4 +50,5 @@ run_py benchmarks/probe_mfu.py --only-new
 run_py benchmarks/probe_mfu.py --attr
 run_py benchmarks/bench_kernels.py
 run_py benchmarks/bench_ldm.py
+run_py benchmarks/bench_serving.py --ancestral
 echo "[r4p $(date -u +%H:%M:%S)] DONE"
