@@ -45,6 +45,14 @@ VARIANTS = {
     "mb2r1d": (2, 2, True, "dots", 1, "float32"),
     "mb4r1d": (4, 1, True, "dots", 1, "float32"),
     "mb4r1": (4, 1, True, "full", 1, "float32"),
+    # fused bilinear-up2+conv3x3 (model.fused_upsample — the bench.py
+    # round-4 default path): isolates the fused-TRAIN delta vs mb1r0.
+    "mb1r0f": (1, 4, False, "full", 1, "float32"),
+}
+
+# per-variant extra config overrides (beyond the positional tuple)
+VARIANT_OVERRIDES = {
+    "mb1r0f": {"model.fused_upsample": True},
 }
 
 
@@ -65,6 +73,7 @@ def run_variant(name: str) -> dict:
         "train.batch_size": b, "train.accum_steps": a,
         "train.remat": remat, "train.remat_policy": policy,
         "train.accum_unroll": unroll, "train.grad_accum_dtype": gdt,
+        **VARIANT_OVERRIDES.get(name, {}),
     })
     mc, dc = cfg.model, cfg.diffusion
     model = build_model(mc, dc.high_thresh)
@@ -138,6 +147,7 @@ def warm_variant(name: str) -> dict:
         "train.batch_size": b, "train.accum_steps": a,
         "train.remat": remat, "train.remat_policy": policy,
         "train.accum_unroll": unroll, "train.grad_accum_dtype": gdt,
+        **VARIANT_OVERRIDES.get(name, {}),
     })
     mc, dc = cfg.model, cfg.diffusion
     model = build_model(mc, dc.high_thresh)
@@ -227,6 +237,7 @@ def run_attribution(fastest: str = "mb1r0") -> dict:
         "train.batch_size": b, "train.accum_steps": a,
         "train.remat": remat, "train.remat_policy": policy,
         "train.accum_unroll": unroll, "train.grad_accum_dtype": gdt,
+        **VARIANT_OVERRIDES.get(name, {}),
     })
     mc, dc = cfg.model, cfg.diffusion
     model = build_model(mc, dc.high_thresh)
@@ -374,10 +385,12 @@ def main() -> None:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 
-    order = (("mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1")
+    order = (("mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1",
+              "mb1r0f")
              if args.only_new
              else ("mb1r0", "mb2r0", "mb2r1", "mb1r1",
-                   "mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1"))
+                   "mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1",
+                   "mb1r0f"))
     skip_mb2r0 = False
     for name in order:
         if name == "mb2r0" and skip_mb2r0:
