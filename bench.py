@@ -70,6 +70,11 @@ def main() -> None:
                          "timed repeats) to populate the persistent "
                          "compile cache, then exit. Lets a later cold "
                          "bench.py run skip every remote compile.")
+    ap.add_argument("--aot-warm", action="store_true",
+                    help="AOT lower+compile the benched sampler programs "
+                         "from ShapeDtypeStructs — NO device execution or "
+                         "HBM, safe while a training job owns the chip "
+                         "(compiles run on the remote compile service).")
     args = ap.parse_args()
     warm_only = args.warm_only
 
@@ -97,6 +102,40 @@ def main() -> None:
     sched = Schedule.create(dc.beta1, dc.beta2, dc.n_T)
 
     n_sample = 20  # 4 per class x 5 classes (batch 40 with CFG doubling)
+
+    if args.aot_warm:
+        pstruct = jax.eval_shape(
+            lambda: jax.jit(model.init, static_argnames=("train",))(
+                jax.random.PRNGKey(0),
+                jnp.zeros((2, mc.img_size, mc.img_size, mc.in_ch)),
+                jnp.zeros((2,), jnp.int32), jnp.full((2,), 0.5),
+                jnp.ones((2,)), attn_mask=None, train=False))["params"]
+        kstruct = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+        ws = jax.ShapeDtypeStruct((), jnp.float32)
+        with mesh:
+            for name, scfg in (
+                ("ancestral", cfg),
+                ("ddim", preset("full", **{
+                    "model.dtype": "bfloat16", "model.n_classes": 5,
+                    "model.fused_upsample": True,
+                    "sample.sampler": "ddim", "sample.ddim_steps": 50})),
+                ("dpmpp", preset("full", **{
+                    "model.dtype": "bfloat16", "model.n_classes": 5,
+                    "model.fused_upsample": True,
+                    "sample.sampler": "dpmpp", "sample.dpm_steps": 20})),
+            ):
+                t0 = time.time()
+                s = make_sampler(model, scfg, sched, False, n_sample,
+                                 chunk=50, mesh=mesh)
+                if hasattr(s, "aot_warm"):
+                    s.aot_warm(pstruct)
+                else:  # ddim/dpmpp return the jit object directly
+                    s.lower(pstruct, {}, kstruct, ws).compile()
+                print(json.dumps({"aot_warmed": name,
+                                  "seconds": round(time.time() - t0, 1)}),
+                      flush=True)
+        return
+
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, mc.img_size, mc.img_size, mc.in_ch))
     # IMPORTANT: params are ARGUMENTS of every jitted function (closure

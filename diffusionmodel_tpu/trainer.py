@@ -197,6 +197,24 @@ def make_sampler(model, cfg: Config, sched: Schedule, has_bn: bool,
             cast_params, key, n_sample, shape, dc, guide_w,
             chunk=min(chunk, dc.n_T), x_sharding=xshard)
 
+    def aot_warm(params_struct):
+        """AOT lower+compile this sampler's jitted programs from a params
+        ShapeDtypeStruct tree (jax.eval_shape of model.init) WITHOUT
+        executing or touching device HBM — populates the persistent
+        compile cache while e.g. a training leg owns the chip (the
+        remote-compile service is separate from chip execution)."""
+        kstruct = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+        if is_bf16:
+            jcast.lower(params_struct).compile()
+            cast_struct = jax.eval_shape(_precast, params_struct)
+        else:
+            cast_struct = params_struct
+        xs = jax.ShapeDtypeStruct((n_sample, *shape), jnp.float32)
+        ss = jax.ShapeDtypeStruct((min(chunk, dc.n_T),), jnp.int32)
+        ws = jax.ShapeDtypeStruct((), jnp.float32)
+        jchunk.lower(cast_struct, {}, xs, kstruct, ss, ws).compile()
+
+    sfn.aot_warm = aot_warm
     return sfn
 
 
