@@ -228,10 +228,13 @@ def main() -> None:
             dpmpp_images_per_min = n_sample * 60.0 / pelapsed
 
     # ---- flagship train step: the measured-fastest operating point ------
-    # (benchmarks/PROBE_MFU.json, round 3): micro-batch 1 x accum 4 with
-    # remat OFF — bf16 Adam mu (train.moment_dtype) frees enough HBM that
-    # the 353M @256px backward fits without rematerialization, removing
-    # the recompute third of each micro-step (3.12 vs 2.60 opt-steps/s).
+    # (benchmarks/PROBE_MFU.json): micro-batch 1 x accum 4 with remat OFF
+    # — bf16 Adam mu (train.moment_dtype) frees enough HBM that the 353M
+    # @256px backward fits without rematerialization (round 3, 3.12 vs
+    # 2.60 opt-steps/s) — COMPOSED (round 5, VERDICT r4 #2) with the bf16
+    # grad-accum carry (mb1r0g: 3.26 alone; numerics pinned by
+    # tests/test_train.py bf16-accum parity + probe_accum_parity.py) and
+    # the exact fused upsample (mb1r0f).
     from diffusionmodel_tpu.train import create_train_state, make_train_step
 
     tcfg = preset("full", **{
@@ -239,6 +242,7 @@ def main() -> None:
         "model.fused_upsample": True,
         "train.batch_size": 1, "train.accum_steps": 4,
         "train.remat": False,
+        "train.grad_accum_dtype": "bfloat16",
     })
     state, tx = create_train_state(model, tcfg, jax.random.PRNGKey(0),
                                    steps_per_epoch=100)

@@ -48,11 +48,15 @@ VARIANTS = {
     # fused bilinear-up2+conv3x3 (model.fused_upsample — the bench.py
     # round-4 default path): isolates the fused-TRAIN delta vs mb1r0.
     "mb1r0f": (1, 4, False, "full", 1, "float32"),
+    # round-5 composition (VERDICT r4 #2): the two independently-fastest
+    # levers together — fused upsample + bf16 grad-accum carry.
+    "mb1r0fg": (1, 4, False, "full", 1, "bfloat16"),
 }
 
 # per-variant extra config overrides (beyond the positional tuple)
 VARIANT_OVERRIDES = {
     "mb1r0f": {"model.fused_upsample": True},
+    "mb1r0fg": {"model.fused_upsample": True},
 }
 
 
@@ -180,7 +184,7 @@ def warm_variant(name: str) -> dict:
     except Exception as e:  # e.g. compile-time HBM overflow for mb4
         out["warmed"].append(["step", f"FAILED: {str(e)[:200]}"])
 
-    if name == "mb1r0":
+    if name in ("mb1r0", "mb1r0fg"):
         loss_fn = _make_loss_fn(model, sched, cfg, has_bn=False,
                                 normalize_u8=False)
         xs = jax.ShapeDtypeStruct((b, s, s, 3), jnp.float32)
@@ -237,7 +241,7 @@ def run_attribution(fastest: str = "mb1r0") -> dict:
         "train.batch_size": b, "train.accum_steps": a,
         "train.remat": remat, "train.remat_policy": policy,
         "train.accum_unroll": unroll, "train.grad_accum_dtype": gdt,
-        **VARIANT_OVERRIDES.get(name, {}),
+        **VARIANT_OVERRIDES.get(fastest, {}),
     })
     mc, dc = cfg.model, cfg.diffusion
     model = build_model(mc, dc.high_thresh)
@@ -332,9 +336,14 @@ def main() -> None:
     ap.add_argument("--attr", action="store_true",
                     help="segment attribution (fwd/bwd/optimizer) at the "
                          "fastest point instead of throughput variants")
+    ap.add_argument("--attr-variant", default="mb1r0",
+                    help="operating point for --attr (e.g. mb1r0fg)")
     ap.add_argument("--only-new", action="store_true",
                     help="drive only the round-4 variants (mb1r0u4, "
                          "mb2r1d, mb4r1d, mb4r1)")
+    ap.add_argument("--names", default=None,
+                    help="comma-separated explicit variant list to drive "
+                         "(overrides --only-new), e.g. mb1r0f,mb1r0fg,mb4r1")
     ap.add_argument("--warm", default=None,
                     help="comma-separated variant names to AOT-compile "
                          "(no execution/HBM; populates the persistent "
@@ -348,7 +357,7 @@ def main() -> None:
         return
 
     if args.attr:
-        rec = run_attribution()
+        rec = run_attribution(args.attr_variant)
         results = []
         if os.path.exists(args.out):
             try:
@@ -385,12 +394,15 @@ def main() -> None:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 
-    order = (("mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1",
-              "mb1r0f")
-             if args.only_new
-             else ("mb1r0", "mb2r0", "mb2r1", "mb1r1",
-                   "mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1",
-                   "mb1r0f"))
+    if args.names:
+        order = tuple(n.strip() for n in args.names.split(","))
+    elif args.only_new:
+        order = ("mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1",
+                 "mb1r0f", "mb1r0fg")
+    else:
+        order = ("mb1r0", "mb2r0", "mb2r1", "mb1r1",
+                 "mb1r0u4", "mb1r0g", "mb2r1d", "mb4r1d", "mb4r1",
+                 "mb1r0f", "mb1r0fg")
     skip_mb2r0 = False
     for name in order:
         if name == "mb2r0" and skip_mb2r0:

@@ -109,8 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "kernel (default ON; measured 1.5-1.6x at 512px)")
     p.add_argument("--no_flash", dest="flash", action="store_false")
     p.add_argument("--ldm_arch", type=str, default="sd",
-                   choices=["sd", "tiny"],
-                   help="sd = SD-v1 scale (860M); tiny = smoke-test size")
+                   choices=["sd", "tiny", "mid"],
+                   help="sd = SD-v1 scale (860M); tiny = smoke-test size; "
+                        "mid = on-chip trainable (~1/10 of sd)")
     p.add_argument("--family", type=str, default="ldm",
                    choices=["ldm", "main"],
                    help="img2img/inpaint: which model family edits the "
@@ -145,6 +146,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="train_ldm: rematerialize the UNet backward "
                         "(fits SD-scale training in 16 GB)")
+    p.add_argument("--train_ae_epochs", type=int, default=0,
+                   help="train_ldm: first train the first-stage VAE on "
+                        "the same images for this many epochs (recon L1 "
+                        "+ tiny KL) before the latent UNet — the native "
+                        "path to a usable decoder when no pretrained SD "
+                        "VAE exists (zero-egress environments)")
     return p
 
 
@@ -358,6 +365,19 @@ def main(argv=None) -> int:
         out_path = args.ldm_native or os.path.join(args.out_dir,
                                                    "ldm_native.pkl")
         bs = min(args.batch_size, len(ds))
+        if args.train_ae_epochs:
+            from diffusionmodel_tpu.models.latent_diffusion.training import (
+                fit_ae,
+            )
+
+            ae_params, ae_hist = fit_ae(
+                runner.ae, images, epochs=args.train_ae_epochs,
+                batch_size=bs, lr=args.lr,
+                seed=args.seed if args.seed is not None else 0)
+            runner.ae_params = ae_params  # fit_ldm encodes + saves with it
+            print(json.dumps({"stage": "train_ae",
+                              "epochs": len(ae_hist),
+                              "first": ae_hist[0], "last": ae_hist[-1]}))
         _, history = fit_ldm(
             runner, images, prompts, epochs=args.epochs or 10,
             batch_size=bs, lr=args.lr, uncond_prob=args.uncond_prob,

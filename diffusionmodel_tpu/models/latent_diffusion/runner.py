@@ -60,6 +60,13 @@ ARCHS = {
     "tiny": dict(channels=32, channel_multipliers=(1, 2), n_res_blocks=1,
                  attention_levels=(0,), n_heads=2, d_cond=64,
                  ae_channels=32, ae_mults=(1, 1, 2, 2)),
+    # "mid": the on-chip trainable point (round 5) — same topology as
+    # "sd" at ~1/10 the parameters, sized so a full native first-stage +
+    # latent-UNet training run on the 1393-crop set fits a benchmark
+    # session (benchmarks/bench_ldm_train.py).
+    "mid": dict(channels=128, channel_multipliers=(1, 2, 4),
+                n_res_blocks=2, attention_levels=(0, 1), n_heads=4,
+                d_cond=256, ae_channels=64, ae_mults=(1, 2, 4, 4)),
 }
 
 

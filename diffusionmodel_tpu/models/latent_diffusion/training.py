@@ -215,6 +215,7 @@ def fit_ldm(runner, images, prompts, *, epochs: int = 10,
 
         from diffusionmodel_tpu.utils.transfer import fetch_tree
 
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         tmp = out_path + ".tmp"
         with open(tmp, "wb") as f:
             # chunked+threaded fetch: a bare device_get of a big param
@@ -227,3 +228,95 @@ def fit_ldm(runner, images, prompts, *, epochs: int = 10,
         os.replace(tmp, out_path)
         log(f"[train_ldm] saved UNet params: {out_path}")
     return state, history
+
+
+# ---------------------------------------------------------------------------
+# First-stage (VAE) training — round 5. The reference consumes a
+# PRETRAINED SD VAE (reference/stable_diffusion/util.py:28-103) and ships
+# no way to train one; in this zero-egress environment those weights
+# cannot exist, so a native first stage is the only path to an LDM whose
+# decoded samples are gateable against real images. Loss follows the SD
+# first-stage recipe's tractable half (taming-transformers
+# AutoencoderKL): pixel reconstruction + KL(posterior || N(0,1)) at a
+# tiny weight. The perceptual (LPIPS) and adversarial terms are omitted
+# — both require pretrained discriminator/VGG weights this image does
+# not have; documented, not hidden.
+# ---------------------------------------------------------------------------
+
+
+def make_ae_train_step(ae, tx: optax.GradientTransformation,
+                       kl_weight: float = 1e-6, l1: bool = True):
+    """Returns ``step(state, key, batch) -> (state, (loss, rec, kl))`` —
+    one fused XLA program: encode -> reparam sample -> decode -> loss ->
+    grads -> Adam update. batch: images [B, H, W, 3] in [-1, 1].
+
+    rec = mean |x - x̂| (SD's pixel L1; ``l1=False`` gives MSE);
+    kl = mean over batch/space of 0.5 Σ_c (μ² + σ² − 1 − logσ²).
+    state.params is the BARE param tree (the runner.ae_params convention).
+    """
+    def step(state: LdmTrainState, key, batch):
+        def loss_fn(params):
+            recon, dist = ae.apply({"params": params}, batch, key)
+            x = batch.astype(jnp.float32)
+            r = recon.astype(jnp.float32)
+            rec = (jnp.mean(jnp.abs(x - r)) if l1
+                   else jnp.mean(jnp.square(x - r)))
+            mean = dist.mean.astype(jnp.float32)
+            logvar = dist.logvar.astype(jnp.float32)
+            kl = 0.5 * jnp.mean(jnp.sum(
+                jnp.square(mean) + jnp.exp(logvar) - 1.0 - logvar, axis=-1))
+            return rec + kl_weight * kl, (rec, kl)
+
+        (loss, (rec, kl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (LdmTrainState(params, opt_state, state.step + 1),
+                (loss, rec, kl))
+
+    return step
+
+
+def fit_ae(ae, images, *, epochs: int = 20, batch_size: int = 8,
+           lr: float = 1e-4, kl_weight: float = 1e-6, seed: int = 0,
+           img_hw: Optional[int] = None, log=print):
+    """Train the first-stage VAE on domain images; returns
+    ``(params, history)`` where history is per-epoch
+    ``{"loss", "rec", "kl"}``. images: [N, H, W, 3] float in [-1, 1]
+    (numpy; fed in fixed-shape batches, final partial batch dropped).
+    """
+    import numpy as np
+
+    n = int(images.shape[0])
+    if n < batch_size:
+        raise ValueError(f"need >= batch_size={batch_size} images, got {n}")
+    hw = img_hw or int(images.shape[1])
+
+    key = jax.random.PRNGKey(seed)
+    # init via __call__ so BOTH halves get parameters; bare tree (the
+    # runner.ae_params convention, so the result drops straight in).
+    params = jax.jit(ae.init)(
+        key, jnp.zeros((1, hw, hw, 3)), jax.random.PRNGKey(0))["params"]
+    tx = optax.adam(lr)
+    state = LdmTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_ae_train_step(ae, tx, kl_weight=kl_weight),
+                   donate_argnums=(0,))
+
+    rng = np.random.RandomState(seed)
+    history = []
+    for ep in range(epochs):
+        order = rng.permutation(n)
+        ls, rs, ks = [], [], []
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i:i + batch_size]
+            key, k = jax.random.split(key)
+            state, (loss, rec, kl) = step(state, k,
+                                          jnp.asarray(images[idx]))
+            ls.append(loss), rs.append(rec), ks.append(kl)
+        rec = {"loss": float(jnp.mean(jnp.stack(ls))),
+               "rec": float(jnp.mean(jnp.stack(rs))),
+               "kl": float(jnp.mean(jnp.stack(ks)))}
+        history.append(rec)
+        log(f"[train_ae] epoch {ep + 1}/{epochs} loss {rec['loss']:.4f} "
+            f"rec {rec['rec']:.4f} kl {rec['kl']:.1f}")
+    return state.params, history

@@ -12,6 +12,8 @@ from diffusionmodel_tpu.config import preset
 from diffusionmodel_tpu.data.mnist import MnistDataset
 from diffusionmodel_tpu.trainer import fit
 
+pytestmark = pytest.mark.slow  # excluded from the quick tier (-m "not slow")
+
 
 @pytest.fixture(scope="module")
 def tiny_mnist_cfg(tmp_path_factory):

@@ -24,6 +24,7 @@ import torch.nn.functional as F  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from diffusionmodel_tpu.metrics.inception import (  # noqa: E402
+
     InceptionA,
     InceptionB,
     InceptionC,
@@ -38,6 +39,9 @@ from diffusionmodel_tpu.metrics.inception import (  # noqa: E402
 # torch mirror of torchvision inception blocks (same attribute names)
 # ---------------------------------------------------------------------------
 
+
+
+pytestmark = pytest.mark.slow  # excluded from the quick tier (-m "not slow")
 
 class TBasicConv2d(tnn.Module):
     def __init__(self, in_ch, out_ch, **kw):

@@ -18,6 +18,8 @@ from diffusionmodel_tpu.kernels.se_block import se_block_fused, se_block_xla
 from diffusionmodel_tpu.nn.blocks import SEBlock
 from diffusionmodel_tpu.nn.coord_attn import CoordAttn
 
+pytestmark = pytest.mark.slow  # excluded from the quick tier (-m "not slow")
+
 
 def test_se_kernel_matches_module():
     c = 64

@@ -9,11 +9,15 @@ import pytest
 
 from diffusionmodel_tpu.cli import main
 from diffusionmodel_tpu.models.latent_diffusion.util import (
+
     load_img,
     save_images,
     set_seed,
 )
 
+
+
+pytestmark = pytest.mark.slow  # excluded from the quick tier (-m "not slow")
 
 def test_util_image_io_roundtrip(tmp_path):
     from PIL import Image

@@ -23,6 +23,8 @@ from diffusionmodel_tpu.compat.torch_convert import (  # noqa: E402
 from diffusionmodel_tpu.nn import ContextUnet, MnistContextUnet  # noqa: E402
 from tests.reference_loader import load_reference_module  # noqa: E402
 
+pytestmark = pytest.mark.slow  # excluded from the quick tier (-m "not slow")
+
 ATOL = 2e-4  # fp32 conv stacks across frameworks
 RTOL = 2e-3
 

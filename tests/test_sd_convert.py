@@ -23,6 +23,8 @@ from diffusionmodel_tpu.compat.sd_convert import (
 )
 from diffusionmodel_tpu.models.latent_diffusion import Autoencoder, UNetModel
 
+pytestmark = pytest.mark.slow  # excluded from the quick tier (-m "not slow")
+
 # fabrication now lives in the package (benchmarks/make_fake_sd_ckpt.py
 # uses it to build the full-size 859M checkpoint); tests exercise the
 # shared implementation.
