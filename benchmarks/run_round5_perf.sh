@@ -59,7 +59,7 @@ run_stage serving_ancestral 3000 benchmarks/bench_serving.py --ancestral
 run_stage conv_ceiling 1500 benchmarks/bench_conv_ceiling.py
 run_stage kernels_rebench 1800 benchmarks/bench_kernels.py
 run_stage probe_mb4r1 1500 benchmarks/probe_mfu.py --names mb4r1
-run_stage ldm_infer 2400 benchmarks/bench_ldm.py
 run_stage ldm_train 7200 benchmarks/bench_ldm_train.py
+run_stage ldm_infer 2400 benchmarks/bench_ldm.py
 echo "[r5p $(date -u +%H:%M:%S)] BATCH DONE; manifest:"
 cat "$MANIFEST"
