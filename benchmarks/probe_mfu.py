@@ -51,12 +51,21 @@ VARIANTS = {
     # round-5 composition (VERDICT r4 #2): the two independently-fastest
     # levers together — fused upsample + bf16 grad-accum carry.
     "mb1r0fg": (1, 4, False, "full", 1, "bfloat16"),
+    # round-5 conv-aware selective remat (train.remat_policy="conv" —
+    # saves conv/dot outputs, recomputes the elementwise/norm tail; the
+    # stock "dots" policy was a measured no-op here, ADVICE r4): may
+    # unlock micro-batch >= 2, composed with fused upsample + bf16 carry.
+    "mb2r1c": (2, 2, True, "conv", 1, "float32"),
+    "mb2r1cfg": (2, 2, True, "conv", 1, "bfloat16"),
+    "mb4r1cfg": (4, 1, True, "conv", 1, "bfloat16"),
 }
 
 # per-variant extra config overrides (beyond the positional tuple)
 VARIANT_OVERRIDES = {
     "mb1r0f": {"model.fused_upsample": True},
     "mb1r0fg": {"model.fused_upsample": True},
+    "mb2r1cfg": {"model.fused_upsample": True},
+    "mb4r1cfg": {"model.fused_upsample": True},
 }
 
 

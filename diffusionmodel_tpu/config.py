@@ -143,10 +143,12 @@ class TrainConfig:
     # the 353M-param flagship at 256px does not fit 16GB HBM without it.
     remat: bool = True
     # Selective-remat policy when remat=True: "full" recomputes the whole
-    # denoiser in the backward; "dots" saves MXU (conv/matmul) outputs and
-    # recomputes only the cheap elementwise/norm ops
-    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — less
-    # recompute than "full", less HBM than remat=False (VERDICT r3 #1).
+    # denoiser in the backward; "dots" saves dot_general outputs
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable — a NO-OP
+    # for conv-dominated UNets, see benchmarks/PROBE_MFU.json mb2r1d);
+    # "conv" saves conv_general_dilated AND dot_general outputs and
+    # recomputes only the elementwise/norm tail — less recompute than
+    # "full", less HBM than remat=False (VERDICT r3 #1 / ADVICE r4).
     remat_policy: str = "full"
     # lax.scan unroll factor for the in-graph gradient-accumulation loop.
     # 1 = rolled (one compiled body, smallest program); accum_steps =

@@ -148,6 +148,19 @@ def _make_loss_fn(model, sched: Schedule, cfg: Config, has_bn: bool,
             net = jax.checkpoint(
                 net,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif cfg.train.remat_policy == "conv":
+            # Conv-aware selective remat (ADVICE r4: the stock "dots"
+            # policy only matches dot_general, a NO-OP for this
+            # conv-dominated UNet). Saves every convolution/matmul output
+            # (the MXU work) and recomputes only the elementwise/norm
+            # tail (GN, GELU, SE gating — VPU ops) in the backward pass:
+            # less recompute than "full" remat, roughly half the
+            # activation HBM of remat=False, which is what can unlock
+            # micro-batch >= 2 at the flagship size.
+            net = jax.checkpoint(
+                net,
+                policy=lambda prim, *_, **__: prim.name in (
+                    "conv_general_dilated", "dot_general"))
         else:
             net = jax.checkpoint(net)
 

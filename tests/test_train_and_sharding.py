@@ -114,6 +114,46 @@ def test_bf16_grad_accum_tracks_fp32():
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(p16))
 
 
+def test_conv_remat_policy_matches_no_remat():
+    """train.remat_policy="conv" (saves conv/dot outputs, recomputes the
+    elementwise/norm tail — ADVICE r4: the stock "dots" policy is a no-op
+    for conv UNets) is a memory schedule, not a math change: the loss is
+    bit-equal to remat=False and the grads match up to fp32 reassociation
+    of the rescheduled backward."""
+    from diffusionmodel_tpu.train import _make_loss_fn
+
+    def grads(remat: bool, policy: str):
+        cfg = tiny_cfg(**{"train.remat": remat,
+                          "train.remat_policy": policy})
+        model = build_model(cfg.model, cfg.diffusion.high_thresh)
+        sched = Schedule.create(cfg.diffusion.beta1, cfg.diffusion.beta2,
+                                cfg.diffusion.n_T)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, cfg.model.img_size, cfg.model.img_size, 3)),
+            jnp.zeros((2,), jnp.int32), jnp.full((2,), 0.5),
+            jnp.ones((2,)), attn_mask=None, train=False)["params"]
+        loss_fn = _make_loss_fn(model, sched, cfg, has_bn=False,
+                                normalize_u8=False)
+        batch = make_batch(cfg)
+        x, c, m = batch["x"][0], batch["c"][0], batch["mask"][0]
+
+        @jax.jit
+        def g(p):
+            (loss, _), gr = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, {}, jax.random.PRNGKey(1), x, c, m)
+            return loss, gr
+
+        return g(params)
+
+    l_ref, g_ref = grads(False, "full")
+    l_conv, g_conv = grads(True, "conv")
+    assert float(l_ref) == float(l_conv)  # identical forward
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_conv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_train_step_sharded_8dev():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     mesh = make_mesh(data=4, model=2)
