@@ -54,7 +54,7 @@ run_stage() {  # run_stage <name> <budget_s> <cmd...>
 run_stage probe_fused_variants 3000 benchmarks/probe_mfu.py --names mb1r0f,mb1r0fg
 run_stage probe_attr_composed 2400 benchmarks/probe_mfu.py --attr --attr-variant mb1r0fg
 run_stage accum_parity 1800 benchmarks/probe_accum_parity.py --steps 40
-run_stage probe_convremat 3000 benchmarks/probe_mfu.py --names mb2r1cfg,mb4r1cfg
+run_stage probe_convremat 3000 benchmarks/probe_mfu.py --names mb2r1c,mb2r1cfg,mb4r1cfg
 run_stage bench_main 3600 bench.py
 run_stage serving_ancestral 3000 benchmarks/bench_serving.py --ancestral
 run_stage conv_ceiling 1500 benchmarks/bench_conv_ceiling.py
