@@ -159,6 +159,11 @@ def main() -> None:
     from diffusionmodel_tpu.utils.transfer import fetch_tree
 
     enable_compilation_cache()
+    # gate grids/QUALITY artifacts land in OUT_DIR even when the gated
+    # checkpoint lives elsewhere (A/B legs) — a host wipe must not crash
+    # the gate at its first PNG save (round-5 leg B lost a sampled scale
+    # to exactly that)
+    os.makedirs(OUT_DIR, exist_ok=True)
     root = ensure_crops()
 
     cfg = preset("full", **{
