@@ -231,10 +231,11 @@ def main() -> None:
     # (benchmarks/PROBE_MFU.json): micro-batch 1 x accum 4 with remat OFF
     # — bf16 Adam mu (train.moment_dtype) frees enough HBM that the 353M
     # @256px backward fits without rematerialization (round 3, 3.12 vs
-    # 2.60 opt-steps/s) — COMPOSED (round 5, VERDICT r4 #2) with the bf16
-    # grad-accum carry (mb1r0g: 3.26 alone; numerics pinned by
-    # tests/test_train.py bf16-accum parity + probe_accum_parity.py) and
-    # the exact fused upsample (mb1r0f).
+    # 2.60 opt-steps/s) — plus the exact fused upsample (mb1r0f: 3.249,
+    # +4.2%). The bf16 grad-accum carry was probed COMPOSED in round 5
+    # (mb1r0fg: 3.254) and adds nothing once fused — same HBM headroom —
+    # so the fp32 carry ships (simpler numerics; see RESULTS.md round-5
+    # ceiling section and probe_accum_parity.py).
     from diffusionmodel_tpu.train import create_train_state, make_train_step
 
     tcfg = preset("full", **{
@@ -242,7 +243,6 @@ def main() -> None:
         "model.fused_upsample": True,
         "train.batch_size": 1, "train.accum_steps": 4,
         "train.remat": False,
-        "train.grad_accum_dtype": "bfloat16",
     })
     state, tx = create_train_state(model, tcfg, jax.random.PRNGKey(0),
                                    steps_per_epoch=100)

@@ -87,6 +87,10 @@ def main() -> None:
     root = ensure_crops()
     overrides = {
         "model.dtype": "bfloat16",
+        # exact bilinear-up2+conv fusion (same math up to summation
+        # order, parameter-compatible): +4.2% steps/s (PROBE_MFU mb1r0f).
+        # Legs before round 5 ran unfused (3.32 sustained at 75 epochs).
+        "model.fused_upsample": True,
         "train.batch_size": 1, "train.accum_steps": 4,
         "train.remat": False,            # fits with bf16 mu; +20% steps/s
         "train.n_epoch": args.epochs,
