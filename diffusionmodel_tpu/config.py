@@ -20,7 +20,9 @@ where the reference is runnable and to the documented fix where it is not:
   attention mask (the evident intent) when available; during sampling no
   spatial mask exists and the enhancer branch is gated off (identity).
 - Q5 ``co_flip_mask``: reference RandomHorizontalFlip flips the image only,
-  not the attention mask. False = faithful.
+  not the attention mask (leaving the loss-weight map misaligned with the
+  flipped crack). True (default since round 5, on a measured A/B) co-flips
+  both; False = faithful.
 """
 
 from __future__ import annotations
@@ -138,7 +140,12 @@ class TrainConfig:
     zero1: bool = False
     # Data augmentation parity flags.
     hflip_prob: float = 0.5   # new_scripy.py:685
-    co_flip_mask: bool = False  # Q5: reference does NOT flip the mask
+    # Q5: the reference flips the image only, leaving the attention mask
+    # misaligned with the flipped crack (new_scripy.py:683-688). Round-5
+    # measured A/B (QUALITY.json r4a75 vs r5b75coflip, identical recipe):
+    # co-flipping wins ~1.5 fid_proxy / halves KID / triples SSIM, so the
+    # fix is the default; False restores the reference-faithful behavior.
+    co_flip_mask: bool = True
     # Rematerialize activations in the backward pass (jax.checkpoint) —
     # the 353M-param flagship at 256px does not fit 16GB HBM without it.
     remat: bool = True

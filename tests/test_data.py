@@ -92,6 +92,10 @@ def test_hflip_parity_q5(fake_root):
     ds2 = CrackDataset(fake_root, img_size=32, hflip_prob=1.0, co_flip_mask=True)
     _, _, m2 = ds2.load(0, augment=True)
     np.testing.assert_array_equal(m2, m0[:, ::-1])
+    # config default is the FIX since round 5 (measured A/B: QUALITY.json
+    # r5b75coflip vs r4a75); the faithful mode stays one flag away
+    from diffusionmodel_tpu.config import preset
+    assert preset("full").train.co_flip_mask is True
 
 
 def test_stratified_split_deterministic():
