@@ -616,9 +616,10 @@ def fit(cfg: Config, dataset: Optional[CrackDataset] = None,
                         early_stop.best_state)
                 break
 
-            # periodic sampling + quality metrics (new_scripy.py:851-893)
-            if sampler is not None and (ep % tc.eval_every == 0
-                                        or ep == tc.n_epoch - 1):
+            # periodic sampling + quality metrics (new_scripy.py:851-893);
+            # eval_every=0 disables periodic sampling entirely.
+            if sampler is not None and tc.eval_every > 0 and (
+                    ep % tc.eval_every == 0 or ep == tc.n_epoch - 1):
                 real = np.stack([x for x, _ in eval_samples])
                 # sample from the EMA shadow when maintained — that is
                 # what it exists for (train.ema_decay docstring).
