@@ -89,13 +89,11 @@ def main() -> None:
 
         x0 = jax.random.normal(key, (B, hw, hw, cin), dt)
         jc = jax.jit(chain)
-        try:
-            an = jc.lower(x0, w).compile().cost_analysis()
-            if isinstance(an, list):
-                an = an[0]
-            gflop_per_call = an.get("flops", 0.0) / 1e9 / n
-        except Exception:
-            gflop_per_call = 0.0
+        # Analytic FLOPs (2 * MACs), the standard convention. XLA
+        # cost_analysis is NOT usable here: it counts the scan body ONCE
+        # regardless of trip count, which under-reported the first run of
+        # this bench by exactly the chain length (50x).
+        gflop_per_call = 2.0 * B * hw * hw * 9 * cin * cout / 1e9
         try:
             float(jc(x0, w))  # compile + warm
             best = float("inf")

@@ -70,6 +70,11 @@ echo "[r5f $(date -u +%H:%M:%S)] TPU free; starting"
 run_stage wsweep 2700 benchmarks/bench_quality.py \
     --ckpt ./output/ab_coflip/ckpt_ep74 --label r5b75wsweep \
     --scales 3.0 5.0 6.0 --ancestral-n 0
+# re-run at B=40 with the FIXED analytic FLOPs accounting (the first run
+# divided cost_analysis by the chain length, but XLA counts a scan body
+# once — 50x under-report); programs are compile-cached, so this is fast
+run_stage conv_b40 1200 benchmarks/bench_conv_ceiling.py --batch 40 \
+    --out benchmarks/CONV_CEILING.json
 run_stage conv_b1 1800 benchmarks/bench_conv_ceiling.py --batch 1 \
     --out benchmarks/CONV_CEILING_B1.json
 
