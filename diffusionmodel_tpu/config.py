@@ -53,7 +53,10 @@ class ModelConfig:
     # MNIST_script.py:170 flips the context mask and multiplies the kept
     # one-hot by -1; v1.5/v2.0 multiply by the keep-mask directly.
     mnist_style_ctx_flip: bool = False
-    # Use fused Pallas kernels for CoordAttn/SEBlock/LocalEnhancer when on TPU.
+    # Use fused Pallas kernels for CoordAttn/SEBlock/LocalEnhancer when on
+    # TPU. Retired as a perf lever in round 5 (RESULTS.md kernels section:
+    # three campaigns measured parity-to-noise vs XLA's own fusion and the
+    # flagship-resolution sites fall back); kept as a tested capability.
     use_pallas: bool = False
     # Compute the UnetUp bilinear-x2 + conv3x3 pair through the exact
     # algebraic fusion (ops/fused_upconv.py): the conv runs at half the
