@@ -77,6 +77,11 @@ run_stage conv_b40 1200 benchmarks/bench_conv_ceiling.py --batch 40 \
     --out benchmarks/CONV_CEILING.json
 run_stage conv_b1 1800 benchmarks/bench_conv_ceiling.py --batch 1 \
     --out benchmarks/CONV_CEILING_B1.json
+# the main batch's deadline usually lands before its last stage; pick
+# up the LDM inference re-bench here (VERDICT r4 #1)
+if ! grep -q '"ldm_infer": "rc=0"' benchmarks/ROUND5_MANIFEST.json; then
+    run_stage ldm_infer 2400 benchmarks/bench_ldm.py
+fi
 
 # ---- EMA 0.9999 leg: train until DEADLINE-GATE_BUDGET ----
 train_left=$(( $(remaining) - GATE_BUDGET ))
@@ -84,7 +89,7 @@ if [ "$train_left" -gt 1200 ]; then
     echo "[r5f $(date -u +%H:%M:%S)] ema9999 train budget: ${train_left}s"
     timeout --signal=TERM --kill-after=120 "$train_left" \
         python -u benchmarks/train_flagship.py --epochs 75 \
-        --ema-decay 0.9999 --save-freq 25 --best-min-epochs 1000 \
+        --ema-decay 0.9999 --save-freq 15 --best-min-epochs 1000 \
         --out-dir "$OUT_E" --resume /nonexistent --co-flip-mask
     record train_ema9999 "rc=$?"
     newest=$(ls -d "$OUT_E"/ckpt_ep* 2>/dev/null | sed 's/.*ckpt_ep//' | sort -n | tail -1)
