@@ -77,8 +77,12 @@ run_stage conv_b40 1200 benchmarks/bench_conv_ceiling.py --batch 40 \
     --out benchmarks/CONV_CEILING.json
 run_stage conv_b1 1800 benchmarks/bench_conv_ceiling.py --batch 1 \
     --out benchmarks/CONV_CEILING_B1.json
-# the main batch's deadline usually lands before its last stage; pick
-# up the LDM inference re-bench here (VERDICT r4 #1)
+# the main batch's deadline usually lands before its last stages; pick
+# them up here (VERDICT r4 #1/#6). ldm_train --resume skips training
+# when the native ckpt exists and re-runs only the sample+gate leg.
+if [ ! -f benchmarks/LDM_TRAIN.json ] && [ -f ./output/ldm_native_mid.pkl ]; then
+    run_stage ldm_train_gate 2400 benchmarks/bench_ldm_train.py --resume
+fi
 if ! grep -q '"ldm_infer": "rc=0"' benchmarks/ROUND5_MANIFEST.json; then
     run_stage ldm_infer 2400 benchmarks/bench_ldm.py
 fi
